@@ -1,0 +1,144 @@
+package graft.model
+
+/** Core data model of the crawl engine.
+  *
+  * Shapes mirror the reference's data model (see SURVEY.md §1):
+  * the Transaction row (/root/reference/src/checker/transaction.py:18-37),
+  * the relational output schema (mysql_tables.sql:1-71), and the
+  * interleaved-docs input table required by BASELINE.json `input_hint`.
+  */
+
+/** One span of an interleaved text+media document (input_hint shape).
+  * Span order within a document = sort by `offset`.
+  *
+  * `kind` ∈ text | media | link | img | iframe | frame | css-link |
+  *          canonical | sitemap-loc | style | meta | script | mail.
+  * For link-ish kinds `text` carries the href/src target (relative or
+  * absolute); for `media` the payload lives behind `media_ref`.
+  */
+case class Span(kind: String, text: String, media_ref: String, offset: Int)
+
+/** A document row of the interleaved input table (input_hint shape). */
+case class Doc(doc_id: String, spans: Seq[Span])
+
+/** Host metadata synthesized with the world (robots crawl-delay etc.). */
+case class HostInfo(host: String, crawl_delay_s: Option[Double], zipf_rank: Int)
+
+/** One parsed robots.txt rule (reference fetches+parses via reppy,
+  * robots.py:30-63; we synthesize the parsed form). `rule` is
+  * "allow" | "disallow"; longest path_pref match wins, allow on tie.
+  */
+case class RobotsRule(host: String, agent: String, rule: String, path_pref: String)
+
+/** Fetch resolution table — replaces live HTTP (net.py:65-128).
+  * `doc_id` null => no body (404 path); `redirect_to` non-null for 3xx
+  * (single hop; requests follows transparently, net.py:121-123).
+  * `detected_mime` models libmagic content sniffing (net.py:220-223).
+  */
+case class UrlMapEntry(
+    url: String,
+    doc_id: String,
+    status: Int,
+    redirect_to: String,
+    content_type: String,
+    content_length: Long,
+    detected_mime: String)
+
+/** Sitemap membership per host (robots.py:72-83 + sitemap_scanner.py). */
+case class SitemapEntry(host: String, loc: String)
+
+/** Crawl configuration; defaults mirror configLoader.py:44-53. */
+case class CrawlConfig(
+    seeds: Seq[String],
+    maxDepth: Int = 0, // 0 = unlimited (depth.py:23-24)
+    agent: String = "Crawlcheck/1.1",
+    rescheduleBoundS: Double = 5.0, // robots.py:96
+    maxContentLength: Option[Long] = None,
+    urlLimit: Option[Long] = None, // transaction.py:212-215
+    recordHeaders: Boolean = true,
+    /** URI regexes that gate touching at all (acceptor.py canTouch /
+      * mightAccept); empty = accept everything (reference: a plugin
+      * regex list; `.*` in the sample config).
+      */
+    uriRegexes: Seq[String] = Seq(".*"),
+    /** Content types claimed by some plugin (core.py:40-46); a fetched
+      * type outside this set is dropped by acceptedType.py:30-43.
+      */
+    acceptedTypes: Seq[String] = Seq("text/html", "text/css", "application/gzip", "text/plain"),
+    /** Max crawl rounds (safety valve for the BSP loop; 0 = unlimited). */
+    maxRounds: Int = 0)
+
+/** Verification status enum (database.py:54-58 + transaction.py:146). */
+object VerificationStatus {
+  val Requested = "REQUESTED"
+  val Processing = "PROCESSING"
+  val Verifying = "VERIFYING"
+  val DoneOk = "DONE - OK"
+  val DoneKo = "DONE - KO"
+  val DoneIgnored = "DONE - IGNORED"
+}
+
+/** One frontier row (the reference's Transaction, transaction.py:18-37).
+  *
+  * `seq`  — the reference's global `idno` (transaction.py:102-115):
+  *          assigned at creation for EVERY extracted link, duplicates
+  *          included; gaps in the enqueued sequence are therefore real.
+  * `pos`  — queue arrival position: dense order of actually-enqueued
+  *          rows; FIFO pop order == pos order (transaction.py:131).
+  * `srcSeq` — parent seq (−1 for seeds).
+  * `expected` — expected content-type prefix ("image/" for <img>).
+  */
+case class FrontierEntry(
+    seq: Long,
+    pos: Long,
+    uri: String,
+    depth: Int,
+    srcSeq: Long,
+    method: String,
+    expected: Option[String])
+
+/** transactions table row (mysql_tables.sql:1-13). */
+case class TransactionRow(
+    seq: Long,
+    method: String,
+    uri: String,
+    responseStatus: Option[Int],
+    contentType: Option[String],
+    verificationStatus: String,
+    depth: Int,
+    expected: Option[String])
+
+/** link table row (mysql_tables.sql:27-40): edge from the parent
+  * transaction (`fromSeq` = requestId) to `toUri`; `toSeq` is the
+  * created transaction's seq (responseId) — fresh even for duplicates
+  * (transaction.py:159-161).
+  */
+case class LinkRow(fromSeq: Long, toUri: String, toSeq: Long, processed: Boolean)
+
+/** defect fact row (mysql_tables.sql:48-54); `typeName` is resolved to
+  * a first-seen dense id in the report layer (database.py:156-169).
+  */
+case class DefectRow(responseSeq: Long, typeName: String, evidence: String, severity: Double)
+
+/** aliases fact row (mysql_tables.sql:15-18). */
+case class AliasRow(seq: Long, uri: String)
+
+/** URL-seen membership ((defragged uri, method) pair —
+  * transaction.py:196-205; only the primary URI keys membership, see
+  * SURVEY.md D2 on the reference's alias-loop quirk).
+  */
+case class SeenRow(uri: String, method: String, seq: Long)
+
+/** Per-host politeness state (robots.py:65-70): virtual-clock time of
+  * the host's last fetch, in seconds.
+  */
+case class HostState(host: String, lastVisitS: Double)
+
+/** Per-round, per-partition lineage counts (north-rule requirement). */
+case class LineageRow(
+    round: Int,
+    partitionId: Int,
+    frontierIn: Long,
+    fetched: Long,
+    discovered: Long,
+    deduped: Long)
