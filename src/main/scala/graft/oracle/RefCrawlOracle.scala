@@ -1,0 +1,248 @@
+package graft.oracle
+
+import graft.model._
+import graft.synth.WorldGen.LocalWorld
+import graft.url.UrlFuncs
+import scala.collection.mutable
+
+/** Single-threaded reference-semantics oracle.
+  *
+  * A faithful serial interpreter of crawlcheck's main loop
+  * (core.py:89-161) and queue semantics (transaction.py:102-233) over a
+  * synthetic world — the golden model the distributed engine must match
+  * bit-for-bit (crawl ordering, URL-seen set, transactions/links/defects).
+  *
+  * Declared deviations from the reference (documented; both sides of the
+  * parity check use these):
+  *  1. Virtual clock. Real wall-time politeness (robots.py:85-109) is
+  *     nondeterministic; we use per-host virtual time: fetches are
+  *     instantaneous, crawl-delay sleeps advance the host's clock, and
+  *     processing is organized in BSP rounds whose start times advance
+  *     by the reschedule bound (round r starts at r·bound). A FIFO queue
+  *     segment present at round start is one round — since children
+  *     always arrive behind everything queued, concatenating rounds
+  *     equals the serial FIFO pop order exactly.
+  *  2. Politeness: an item is rescheduled when its required sleep
+  *     measured from the host's current virtual time exceeds the bound
+  *     (robots.py:96-101 with now := host virtual time max'd with round
+  *     start); per markStart semantics (core.py:148-150) only
+  *     successfully processed fetches update the host's last-visit time.
+  *  3. Plugin order is fixed: header filters in order acceptedType,
+  *     acceptedUri, contentLength, expectedType (the reference's yapsy
+  *     load order is filesystem-dependent), then crawler linksFinder.
+  *
+  * Replicated reference quirks (deliberate):
+  *  - every created transaction consumes an idno, duplicates included
+  *    (transaction.py:102-115 + push dedup afterwards);
+  *  - duplicate links still get link rows with the duplicate's fresh seq
+  *    (transaction.py:159-161);
+  *  - only DONE-OK transactions get uri/contentType/responseStatus
+  *    persisted (startChecking → transactions_load is reached only from
+  *    __process, core.py:148-157); KO/IGNORED rows keep the push-time
+  *    uri and null status/type;
+  *  - aliases are only recorded at push time (transaction.py:225-233),
+  *    so redirect/canonical aliases never reach the aliases table;
+  *  - the neterr defect evidence is the reference's unformatted giveup
+  *    message (net.py:47-50 formats with .format(**details) on %-style
+  *    placeholders — a no-op);
+  *  - URLs whose double-unquote contains whitespace fail the RFC-3987
+  *    gate (core.py:103-110) and become `invaliduri` DONE-KO.
+  */
+object RefCrawlOracle {
+
+  /** A defect with its deterministic emission order key:
+    * (pop counter of the emitting item, phase within the item).
+    */
+  case class OrderedDefect(popPos: Long, phase: Int, defect: DefectRow)
+
+  case class CrawlOutput(
+      crawlOrder: Vector[(Long, Long, String)], // (popPos, seq, uri at pop)
+      transactions: Map[Long, TransactionRow],
+      links: Vector[LinkRow], // processed flag folded in
+      defects: Vector[OrderedDefect],
+      aliases: Vector[AliasRow],
+      seen: Map[(String, String), Long], // (uri, method) -> first seq
+      hostState: Map[String, Double],
+      rounds: Int)
+
+  private final class Item(
+      val seq: Long, var pos: Long, var uri: String, val origUri: String,
+      val depth: Int, val srcSeq: Long, val method: String,
+      val expected: Option[String])
+
+  def crawl(world: LocalWorld, cfg: CrawlConfig): CrawlOutput = {
+    val seen = mutable.LinkedHashMap.empty[(String, String), Long]
+    val transactions = mutable.LinkedHashMap.empty[Long, TransactionRow]
+    val links = mutable.ArrayBuffer.empty[LinkRow]
+    val defects = mutable.ArrayBuffer.empty[OrderedDefect]
+    val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
+    val crawlOrder = mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val vt = mutable.HashMap.empty[String, Double]
+    var nextSeq = 0L
+    var nextPos = 0L
+    var popCounter = 0L
+    var seenCount = 0L
+
+    val uriRe = cfg.uriRegexes.map(_.r.pattern)
+    def worth(uri: String): Boolean = uriRe.exists(_.matcher(uri).find())
+
+    val rulesByHost: Map[String, Seq[RobotsRule]] = world.rules.groupBy(_.host)
+    def disallowed(uri: String): Boolean = {
+      val h = UrlFuncs.host(uri)
+      val path = { val (_, _, rest) = UrlFuncs.splitUrl(uri); if (rest.isEmpty) "/" else rest }
+      val matching = rulesByHost.getOrElse(h, Nil).filter(r => path.startsWith(r.path_pref))
+      matching.nonEmpty &&
+        matching.maxBy(r => (r.path_pref.length, r.rule == "allow")).rule == "disallow"
+    }
+    def delayOf(host: String): Option[Double] =
+      world.hosts.get(host).flatMap(_.crawl_delay_s)
+
+    /** createTransaction + TransactionQueue.push. Returns the enqueued
+      * item, or None when deduplicated / over the url limit.
+      */
+    def push(rawUri: String, depth: Int, srcSeq: Long, expected: Option[String],
+        hasParent: Boolean): Option[Item] = {
+      val decoded = UrlFuncs.unquote2(rawUri) // transaction.py:111
+      val seq = nextSeq; nextSeq += 1 // idno consumed even for dups
+      val canon = UrlFuncs.defrag(decoded) // transaction.py:152
+      val key = (canon, "GET")
+      var created: Option[Item] = None
+      if (!seen.contains(key)) {
+        if (cfg.urlLimit.exists(seenCount >= _)) return None // SeenLimit: nothing logged
+        created = Some(new Item(seq, -1L, canon, canon, depth, srcSeq, "GET", expected))
+        transactions(seq) = TransactionRow(seq, "GET", canon, None, None,
+          VerificationStatus.Requested, depth, expected)
+        aliasRows += AliasRow(seq, decoded)
+        seen(key) = seq
+        seenCount += 1
+      }
+      if (hasParent) links += LinkRow(srcSeq, canon, seq, processed = false)
+      created
+    }
+
+    // seeds (core.py:55-61): config order, depth 0, srcId −1, no link rows
+    var frontier: Vector[Item] = cfg.seeds
+      .flatMap(seed => push(seed, 0, -1L, None, hasParent = false)).toVector
+    frontier.foreach { it => it.pos = nextPos; nextPos += 1 }
+
+    var round = 0
+    val bound = cfg.rescheduleBoundS
+    while (frontier.nonEmpty && (cfg.maxRounds <= 0 || round < cfg.maxRounds)) {
+      val S = round * bound
+      // next round's arrivals with creator-order keys (creatorPos, childIdx)
+      val next = mutable.ArrayBuffer.empty[(Long, Long, Item)]
+
+      for (item <- frontier.sortBy(_.pos)) {
+        val myPop = popCounter; popCounter += 1
+        crawlOrder += ((myPop, item.seq, item.uri))
+        // link processed=true WHERE toUri = popped uri (transaction.py:146-147)
+        for (i <- links.indices if links(i).toUri == item.uri && !links(i).processed)
+          links(i) = links(i).copy(processed = true)
+
+        def finishRaw(status: String): Unit =
+          transactions(item.seq) = TransactionRow(item.seq, item.method, item.origUri,
+            None, None, status, item.depth, item.expected)
+        def defect(seq: Long, name: String, evidence: String, sev: Double, phase: Int): Unit =
+          defects += OrderedDefect(myPop, phase, DefectRow(seq, name, evidence, sev))
+
+        val host = UrlFuncs.host(item.uri)
+        if (!UrlFuncs.isValidIri(item.uri)) {
+          defect(item.seq, "invaliduri", item.uri, 1.0, 0)
+          finishRaw(VerificationStatus.DoneKo)
+        } else if (!worth(item.uri)) {
+          finishRaw(VerificationStatus.DoneIgnored)
+        } else if (cfg.maxDepth > 0 && item.depth > cfg.maxDepth) {
+          finishRaw(VerificationStatus.DoneIgnored)
+        } else if (disallowed(item.uri)) {
+          finishRaw(VerificationStatus.DoneIgnored)
+        } else {
+          val d = delayOf(host)
+          val deferred = d match {
+            case Some(delay) if vt.contains(host) =>
+              val hvt = vt(host)
+              (hvt + delay) - math.max(S, hvt) > bound
+            case _ => false
+          }
+          if (deferred) {
+            next += ((item.pos, 0L, item)) // Reschedule → current tail
+          } else {
+            val fetchTime = d match {
+              case Some(delay) if vt.contains(host) =>
+                math.max(math.max(S, vt(host)), vt(host) + delay)
+              case _ => S
+            }
+            val sch = UrlFuncs.scheme(item.uri)
+            if (sch != "http" && sch != "https") {
+              finishRaw(VerificationStatus.DoneIgnored) // UrlError → ConditionError
+            } else world.urlMap.get(item.uri) match {
+              case None =>
+                defect(item.seq, "neterr", "All %s attempts to get %s failed.", 0.9, 0)
+                finishRaw(VerificationStatus.DoneKo)
+              case Some(entry0) =>
+                val (entry, finalUrl) =
+                  if (entry0.redirect_to != null)
+                    (world.urlMap.getOrElse(entry0.redirect_to,
+                      UrlMapEntry(entry0.redirect_to, null, 404, null, "", 0L, null)),
+                      entry0.redirect_to)
+                  else (entry0, item.uri)
+                if (entry.status != 200) {
+                  defect(item.srcSeq, "badlink", item.uri, 1.0, 0)
+                  finishRaw(VerificationStatus.DoneKo)
+                } else {
+                  if (finalUrl != item.uri) item.uri = UrlFuncs.defrag(finalUrl)
+                  val rawCt = Option(entry.content_type).getOrElse("")
+                  if (rawCt.trim.isEmpty) defect(item.seq, "badtype", null, 0.5, 1)
+                  val ct = if (rawCt.contains(';')) rawCt.split(";")(0) else rawCt
+                  if (!cfg.acceptedTypes.contains(ct)) {
+                    finishRaw(VerificationStatus.DoneIgnored)
+                  } else if (cfg.maxContentLength.exists(entry.content_length > _)) {
+                    finishRaw(VerificationStatus.DoneIgnored)
+                  } else if (item.expected.exists(e => !ct.startsWith(e))) {
+                    defect(item.seq, "mistyped",
+                      s"Expected: ${item.expected.get} Got: $ct", 0.8, 2)
+                    finishRaw(VerificationStatus.DoneIgnored)
+                  } else {
+                    val doc = Option(entry.doc_id).flatMap(world.docs.get)
+                    if (entry.detected_mime != null && entry.detected_mime != ct)
+                      defect(item.seq, "type-mishmash",
+                        s"Declared $ct,detected ${entry.detected_mime}", 0.3, 3)
+                    vt(host) = fetchTime // markStart (core.py:148-150)
+                    if (ct == "text/html" && doc.isDefined) {
+                      val spans = doc.get.spans.sortBy(_.offset)
+                      spans.find(_.kind == "canonical").foreach { c =>
+                        item.uri = UrlFuncs.defrag(c.text)
+                      }
+                      val linkKinds = Set("link", "css-link", "img", "iframe", "frame")
+                      var childIdx = 0L
+                      for (sp <- spans if linkKinds.contains(sp.kind)) {
+                        val joined = UrlFuncs.urljoin(item.uri, sp.text)
+                        val p = UrlFuncs.scheme(joined)
+                        if (p == "http" || p == "https") {
+                          val addr = UrlFuncs.quote(joined)
+                          val expected = if (sp.kind == "img") Some("image/") else None
+                          push(addr, item.depth + 1, item.seq, expected, hasParent = true)
+                            .foreach(child => next += ((item.pos, 1L + childIdx, child)))
+                        }
+                        childIdx += 1
+                      }
+                    }
+                    // DONE-OK: the only path that persists uri/ct/status
+                    transactions(item.seq) = TransactionRow(item.seq, item.method,
+                      item.uri, Some(200), Some(ct), VerificationStatus.DoneOk,
+                      item.depth, item.expected)
+                  }
+                }
+            }
+          }
+        }
+      }
+      // assign fresh queue positions in creator order (serial FIFO tail)
+      frontier = next.sortBy(t => (t._1, t._2)).map(_._3).toVector
+      frontier.foreach { it => it.pos = nextPos; nextPos += 1 }
+      round += 1
+    }
+
+    CrawlOutput(crawlOrder.toVector, transactions.toMap, links.toVector,
+      defects.toVector, aliasRows.toVector, seen.toMap, vt.toMap, round)
+  }
+}

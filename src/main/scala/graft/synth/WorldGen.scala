@@ -1,0 +1,246 @@
+package graft.synth
+
+import graft.model._
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Deterministic synthetic crawl worlds (FIXTURES.md §1-2, §5).
+  *
+  * All content is a pure function of (spec, index) via splitmix64 — the
+  * Spark view ([[WorldGen.sparkWorld]]) and the driver-local view used
+  * by the serial oracle ([[WorldGen.localWorld]]) are guaranteed
+  * identical. No wall clock, no RNG state.
+  *
+  * URL space:
+  *   regular doc d  → http://h{host}.test/p/{d}   (text/html, has spans)
+  *   private doc    → http://h{host}.test/private/p/{d}  (robots-disallowed)
+  *   image doc i    → http://h{host}.test/img/{i}  (image/png, media span)
+  *   redirect alias → http://h{host}.test/r/{d}    (301 → the doc URL)
+  *   missing        → http://h{host}.test/missing/{k} (404, no body)
+  */
+final case class WorldSpec(
+    name: String,
+    seed: Long = 42L,
+    nHosts: Int = 4,
+    nDocs: Int = 40,
+    /** fraction (percent) of docs assigned to the hot host 0 (Zipf knob) */
+    hotPct: Int = 30,
+    /** links per doc = 1 + idx % linkFan */
+    linkFan: Int = 5,
+    /** every k-th host gets this crawl delay; 0 disables */
+    politeEvery: Int = 0,
+    politeDelayS: Double = 2.0,
+    /** every k-th host gets a delay > reschedule bound; 0 disables */
+    slowEvery: Int = 0,
+    slowDelayS: Double = 12.0,
+    /** every k-th doc lives under the robots-disallowed /private prefix */
+    privateEvery: Int = 0,
+    /** every k-th link points at a missing (404) URL */
+    missingEvery: Int = 13,
+    /** every k-th link goes through a 301 redirect alias */
+    redirectEvery: Int = 11,
+    /** every k-th doc declares a canonical span */
+    canonicalEvery: Int = 17,
+    /** every k-th link is an <img> to an image doc */
+    imgEvery: Int = 7,
+    /** every k-th image doc has detected mime != declared (type-mishmash) */
+    mishmashEvery: Int = 5,
+    /** every k-th link carries a URL-variant (fragment / %-encoding / dupe) */
+    variantEvery: Int = 3)
+
+object WorldGen {
+
+  /** splitmix64 — deterministic hash mixer (public-domain algorithm). */
+  def mix(parts: Long*): Long = {
+    var h = 0x9e3779b97f4a7c15L
+    for (p <- parts) {
+      var z = h ^ (p * 0xbf58476d1ce4e5b9L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      h = z ^ (z >>> 31)
+    }
+    h
+  }
+  private def pmod(v: Long, m: Int): Int = (((v % m) + m) % m).toInt
+
+  def hostOf(s: WorldSpec, d: Long): Int = {
+    val m = mix(s.seed, 1L, d)
+    if (s.nHosts == 1) 0
+    else if (pmod(m, 100) < s.hotPct) 0
+    else 1 + pmod(mix(m, 2L), s.nHosts - 1)
+  }
+
+  def hostName(h: Int): String = f"h$h%04d.test"
+
+  def nImgs(s: WorldSpec): Int = math.max(1, s.nDocs / 5)
+
+  def isPrivate(s: WorldSpec, d: Long): Boolean =
+    s.privateEvery > 0 && pmod(mix(s.seed, 3L, d), s.privateEvery) == 0
+
+  def docUrl(s: WorldSpec, d: Long): String = {
+    val h = hostName(hostOf(s, d))
+    if (isPrivate(s, d)) s"http://$h/private/p/$d" else s"http://$h/p/$d"
+  }
+  def imgUrl(s: WorldSpec, i: Long): String =
+    s"http://${hostName(hostOf(s, i + 1000000L))}/img/$i"
+  def redirectUrl(s: WorldSpec, d: Long): String =
+    s"http://${hostName(hostOf(s, d))}/r/$d"
+  def missingUrl(s: WorldSpec, k: Long): String =
+    s"http://${hostName(hostOf(s, k + 2000000L))}/missing/$k"
+
+  def docId(d: Long): String = s"d$d"
+  def imgDocId(i: Long): String = s"i$i"
+
+  private val words = Vector("lorem", "ipsum", "crawl", "frontier", "spark",
+    "span", "media", "graph", "queue", "robots", "delay", "shard", "bloom")
+
+  private def textOf(s: WorldSpec, d: Long, j: Int): String = {
+    val n = 3 + pmod(mix(s.seed, 4L, d, j.toLong), 6)
+    (0 until n).map(i => words(pmod(mix(s.seed, 5L, d, j.toLong, i.toLong), words.size))).mkString(" ")
+  }
+
+  /** The links of doc d: (kind, href, childTargetKind) in document order.
+    * href variants exercise the canonicalization chain (P1-P5) and the
+    * URL-seen dedup (D1): fragments, %-encoding, relative paths.
+    */
+  def linksOf(s: WorldSpec, d: Long): Seq[(String, String)] = {
+    val fan = 1 + pmod(mix(s.seed, 6L, d), s.linkFan)
+    (0 until fan).map { j =>
+      val m = mix(s.seed, 7L, d, j.toLong)
+      val target = pmod(mix(m, 1L), s.nDocs).toLong
+      if (s.imgEvery > 0 && pmod(m, s.imgEvery) == 0) {
+        val img = pmod(mix(m, 2L), nImgs(s)).toLong
+        // every few img links mistakenly point at an html doc (mistyped F5)
+        if (pmod(m, 4 * s.imgEvery) == s.imgEvery) ("img", docUrl(s, target))
+        else ("img", imgUrl(s, img))
+      } else if (pmod(m, s.missingEvery) == 1) {
+        ("link", missingUrl(s, pmod(mix(m, 3L), 20).toLong))
+      } else if (pmod(m, s.redirectEvery) == 2) {
+        ("link", redirectUrl(s, target))
+      } else if (pmod(m, s.variantEvery) == 0) {
+        // URL variants that canonicalize to the same doc URL
+        val base = docUrl(s, target)
+        pmod(mix(m, 4L), 4) match {
+          case 0 => ("link", base + "#section" + pmod(m, 9))
+          case 1 => ("link", "HTTP" + base.drop(4)) // scheme case variant; urljoin lowercases
+          case 2 => ("link", "/" + base.split("/", 4)(3)) // host-relative path
+          case _ => ("link", base.replace("p/", "%70/")) // %70 = 'p' (unquote² target)
+        }
+      } else {
+        val kinds = Vector("link", "link", "link", "css-link", "iframe", "frame")
+        (kinds(pmod(mix(m, 5L), kinds.size)), docUrl(s, target))
+      }
+    }
+  }
+
+  /** All spans of doc d, already in offset order; the generator emits
+    * them REVERSED in the stored array to exercise span reassembly
+    * (input_hint per-row invariant).
+    */
+  def spansOf(s: WorldSpec, d: Long): Seq[Span] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Span]
+    buf += Span("text", textOf(s, d, 0), null, 0)
+    if (s.canonicalEvery > 0 && pmod(mix(s.seed, 8L, d), s.canonicalEvery) == 0)
+      buf += Span("canonical", docUrl(s, d) + "?canon=1", null, 5)
+    var off = 10
+    for ((kind, href) <- linksOf(s, d)) {
+      buf += Span(kind, href, null, off)
+      off += 10
+    }
+    buf += Span("text", textOf(s, d, 1), null, off)
+    if (pmod(mix(s.seed, 9L, d), 3) == 0)
+      buf += Span("media", null, s"blob://w/${d}", off + 10)
+    buf.reverse.toSeq // stored order != document order, deliberately
+  }
+
+  def docOf(s: WorldSpec, d: Long): Doc = Doc(docId(d), spansOf(s, d))
+
+  def imgDocOf(s: WorldSpec, i: Long): Doc =
+    Doc(imgDocId(i), Seq(Span("media", null, s"blob://img/$i", 0)))
+
+  def urlMapEntries(s: WorldSpec): Seq[UrlMapEntry] = {
+    val docs = (0L until s.nDocs).map { d =>
+      UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
+        100 + pmod(mix(s.seed, 10L, d), 5000).toLong, "text/html")
+    }
+    val imgs = (0L until nImgs(s)).map { i =>
+      val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
+      UrlMapEntry(imgUrl(s, i), imgDocId(i), 200, null, "image/png",
+        1000 + pmod(mix(s.seed, 12L, i), 100000).toLong,
+        if (mish) "image/jpeg" else "image/png")
+    }
+    val redirects = (0L until s.nDocs).map { d =>
+      UrlMapEntry(redirectUrl(s, d), null, 301, docUrl(s, d), "text/html", 0L, null)
+    }
+    val missing = (0L until 20L).map { k =>
+      UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)
+    }
+    docs ++ imgs ++ redirects ++ missing
+  }
+
+  def hostInfos(s: WorldSpec): Seq[HostInfo] =
+    (0 until s.nHosts).map { h =>
+      val delay =
+        if (s.slowEvery > 0 && h % s.slowEvery == 1) Some(s.slowDelayS)
+        else if (s.politeEvery > 0 && h % s.politeEvery == 0) Some(s.politeDelayS)
+        else None
+      HostInfo(hostName(h), delay, h)
+    }
+
+  def robotsRules(s: WorldSpec): Seq[RobotsRule] =
+    (0 until s.nHosts).flatMap { h =>
+      Seq(RobotsRule(hostName(h), "*", "disallow", "/private"),
+        RobotsRule(hostName(h), "*", "allow", "/"))
+    }
+
+  /** Driver-local world for the serial oracle. */
+  case class LocalWorld(
+      docs: Map[String, Doc],
+      urlMap: Map[String, UrlMapEntry],
+      hosts: Map[String, HostInfo],
+      rules: Seq[RobotsRule])
+
+  def localWorld(s: WorldSpec): LocalWorld = {
+    val docs = ((0L until s.nDocs).map(d => docId(d) -> docOf(s, d)) ++
+      (0L until nImgs(s)).map(i => imgDocId(i) -> imgDocOf(s, i))).toMap
+    LocalWorld(docs, urlMapEntries(s).map(e => e.url -> e).toMap,
+      hostInfos(s).map(h => h.host -> h).toMap, robotsRules(s))
+  }
+
+  /** Distributed world: generated with spark.range → map over the same
+    * pure functions; scales to arbitrary nDocs without driver state.
+    */
+  case class SparkWorld(
+      docs: Dataset[Doc],
+      urlMap: Dataset[UrlMapEntry],
+      hosts: Dataset[HostInfo],
+      rules: Dataset[RobotsRule])
+
+  def sparkWorld(spark: SparkSession, s: WorldSpec): SparkWorld = {
+    import spark.implicits._
+    val docs = spark.range(s.nDocs).map(d => docOf(s, d))
+      .union(spark.range(nImgs(s)).map(i => imgDocOf(s, i)))
+    val urlMap = spark.range(s.nDocs).map(d =>
+        UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
+          100 + pmod(mix(s.seed, 10L, d), 5000).toLong, "text/html"))
+      .union(spark.range(nImgs(s)).map { i =>
+        val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
+        UrlMapEntry(imgUrl(s, i), imgDocId(i), 200, null, "image/png",
+          1000 + pmod(mix(s.seed, 12L, i), 100000).toLong,
+          if (mish) "image/jpeg" else "image/png")
+      })
+      .union(spark.range(s.nDocs).map(d =>
+        UrlMapEntry(redirectUrl(s, d), null, 301, docUrl(s, d), "text/html", 0L, null)))
+      .union(spark.range(20).map(k =>
+        UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)))
+    SparkWorld(docs, urlMap, hostInfos(s).toDS(), robotsRules(s).toDS())
+  }
+
+  /** Default seed list: first few doc URLs, including one with a
+    * fragment and one %-encoded (exercises canonSeed P1-P2).
+    */
+  def seeds(s: WorldSpec, n: Int = 2): Seq[String] = {
+    val base = (0L until math.min(n.toLong, s.nDocs.toLong)).map(d => docUrl(s, d))
+    if (base.size < 2) base
+    else base.updated(1, base(1) + "#top") // canonicalizes back to base(1)
+  }
+}

@@ -221,6 +221,18 @@ object UrlFuncs {
     */
   def canonSeed(seed: String): String = defrag(unquote2(seed))
 
+  /** URI validity per the reference's rfc3987.match(uri) gate
+    * (core.py:103-110). Approximation of the IRI grammar sufficient for
+    * the synthetic URL space: requires a scheme and rejects characters
+    * outside the (i)unreserved/reserved/pct sets — notably whitespace
+    * (which appears after the double-unquote of %20 links; the reference
+    * rejects those as `invaliduri` too).
+    */
+  private val IriPattern =
+    "^[a-zA-Z][a-zA-Z0-9+.-]*:[^\\s<>\"{}|\\\\^`]*$".r.pattern
+
+  def isValidIri(s: String): Boolean = s != null && IriPattern.matcher(s).matches()
+
   /** RFC 3986 §6 normalization approximating the url_normalize package
     * used by the optional uri_normalizer filter (uri_normalizer.py:22-27):
     * lowercase scheme+host, drop default port, remove dot segments,
