@@ -1,14 +1,18 @@
 package graft
 
-import org.apache.spark.sql.{SparkSession, DataFrame}
+import graft.frontier.{CrawlDriver, CrawlRound}
+import graft.model.CrawlConfig
+import graft.ops.{DedupOps, MultimodalOps, SimilarityOps, TextOps}
+import graft.synth.{WorldGen, WorldSpec}
+import graft.url.UrlExpressions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
-  *
-  * Each `queries` entry is one operator from SURVEY.md §2 (the crawl
-  * engine's operator inventory) or a training-data-pipeline operator,
-  * expressed over the driver's parquet tables at `dir`. `oracleSql`
-  * holds the DuckDB-equivalent SQL for the hash-compare gate.
+/** Driver contract: one `queries` entry per implemented operator
+  * (SURVEY.md §2 ids in the names) plus the training-data-pipeline
+  * operators; `oracleSql` gives the DuckDB-equivalent SQL where the op
+  * is ANSI-expressible (rows-only check otherwise).
   */
 object SparkEntry {
 
@@ -19,30 +23,455 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  // ---- shared tiny crawl for the engine-operator queries (memoized) --
+  @volatile private var crawlCache: Option[CrawlDriver.CrawlRun] = None
+  private def tinyCrawl(s: SparkSession): CrawlDriver.CrawlRun = synchronized {
+    crawlCache.getOrElse {
+      val spec = WorldSpec("entry-world", nHosts = 3, nDocs = 40,
+        politeEvery = 3, redirectEvery = 5, privateEvery = 7)
+      val w = WorldGen.sparkWorld(s, spec)
+      val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF())
+      val cfg = CrawlConfig(seeds = WorldGen.seeds(spec),
+        acceptedTypes = Seq("text/html", "image/png"))
+      val dir = java.nio.file.Files.createTempDirectory("entry-crawl").toString
+      val run = CrawlDriver.crawl(s, world, cfg, dir)
+      crawlCache = Some(run)
+      run
+    }
+  }
+
+  private val stopwords = Seq("the", "and", "of", "to", "in", "is", "that",
+    "it", "was", "for")
+  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A2-style aggregation (link stats analog): grouped sums + counts.
-    "q1_agg" -> ((s, dir) => {
+    // ================= aggregations (SURVEY §2.7) ====================
+    "q1_agg" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy(col("l_returnflag"), col("l_linestatus"))
-        .agg(
-          sum(col("l_quantity")).as("sum_qty"),
+        .agg(sum(col("l_quantity")).as("sum_qty"),
           sum(col("l_extendedprice")).as("sum_price"),
           count(lit(1)).as("n_rows"))
-        .orderBy(col("l_returnflag"), col("l_linestatus"))
-    })
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // A2 link stats: conditional counts + percentage
+    "a2_link_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("total"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("returned"),
+        round(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)) * 100.0 /
+          count(lit(1)), 6).as("pct_returned"))),
+
+    // A1 first-seen dense id assignment (defectType dimension build)
+    "a1_first_seen_ids" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(col("lang")).agg(min(col("doc_id")).as("first_seen"))
+        .withColumn("id", row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+        .select(col("id"), col("lang"), col("first_seen"))
+        .orderBy(col("id"))),
+
+    // A5 per-group maxima (tidy code numbering)
+    "a5_group_max" -> ((s, dir) =>
+      t(s, dir, "events").groupBy(col("event_type"))
+        .agg(max(col("value")).as("max_value"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))),
+
+    // ================= joins (SURVEY §2.6) ===========================
+    // J1 defect ⋈ defectType ⋈ transactions analog (broadcast dim)
+    "j1_fact_dim_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name")).agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("n_name"))
+    }),
+
+    // J2 edge list joined to both endpoints (self-join aliases)
+    "j2_edge_both_ends" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val p = t(s, dir, "part").select(col("p_partkey"), col("p_name"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      li.join(p, li("l_partkey") === p("p_partkey"))
+        .join(sup, li("l_suppkey") === sup("s_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("n_lines"))
+        .orderBy(col("s_name"))
+    }),
+
+    // J4/O5 top-1-per-key via row_number window
+    "j4_top1_per_key" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+        .filter(col("rn") === 1)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+        .orderBy(col("l_orderkey"))),
+
+    // D1-band-2 anti join (URL-seen exact band shape)
+    "d1_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+      val o = t(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .orderBy(col("c_custkey"))
+    }),
+
+    // F9 semi join (worth-it gate shape)
+    "f9_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice"))
+      val li = t(s, dir, "lineitem").filter(col("l_discount") > 0.05)
+        .select(col("l_orderkey"))
+      o.join(li, o("o_orderkey") === li("l_orderkey"), "left_semi")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ================= set ops (SURVEY §2.9) =========================
+    "u1_except_all" -> ((s, dir) => {
+      val all = t(s, dir, "orders").select(col("o_custkey").as("custkey"))
+      val neg = t(s, dir, "customer").filter(col("c_acctbal") < 0)
+        .select(col("c_custkey").as("custkey"))
+      all.exceptAll(neg).groupBy(col("custkey")).agg(count(lit(1)).as("n"))
+        .orderBy(col("custkey"))
+    }),
+
+    // U2 array union/distinct (alias set mechanics)
+    "u2_array_sets" -> ((s, dir) =>
+      t(s, dir, "lineitem").groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_suppkey"))).as("sk"))
+        .select(col("l_orderkey"), concat_ws(",", col("sk")).as("suppkeys"),
+          size(col("sk")).cast("long").as("n_supp"))
+        .orderBy(col("l_orderkey"))),
+
+    // ================= sorts / limits (SURVEY §2.8) ==================
+    "o3_report_sort" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)),
+
+    // O1-ish running window (politeness budget shape)
+    "o1_running_sum" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("running", round(sum(col("o_totalprice")).over(
+          Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+            .rowsBetween(Window.unboundedPreceding, 0)), 2))
+        .select(col("o_custkey"), col("o_orderkey"), col("running"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))),
+
+    // ================= projections / URL chain (SURVEY §2.2) ========
+    // P1 urldefrag as native expression vs SQL regexp
+    "p1_url_defrag" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("uri", concat(lit("http://h"), pmod(col("o_custkey"), lit(20)),
+          lit(".test/p/"), col("o_orderkey"), lit("#s"), pmod(col("o_orderkey"), lit(5))))
+        .select(col("o_orderkey"), url_defrag(col("uri")).as("canon"))
+        .orderBy(col("o_orderkey"))),
+
+    // P12 host extraction (politeness key derivation)
+    "p12_url_host" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("uri", concat(lit("http://h"), pmod(col("o_custkey"), lit(20)),
+          lit(".test:80/p/"), col("o_orderkey")))
+        .select(col("o_orderkey"), url_host(col("uri")).as("host"))
+        .groupBy(col("host")).agg(count(lit(1)).as("n"))
+        .orderBy(col("host"))),
+
+    // P13 content hash (dupdet SHA-512→ md5 for the oracle)
+    "p13_content_hash" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .orderBy(col("doc_id"))),
+
+    // P14 regex extraction (mailer shape): digit runs per doc
+    "p14_regex_extract" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("\\b[a-z]{4}\\b"), lit(0))).cast("long").as("n_four"))
+        .orderBy(col("doc_id"))),
+
+    // ================= explodes (SURVEY §2.5) ========================
+    // G1 link extraction shape: explode tokens, frequency table
+    "g1_explode_wordcount" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("word"))),
+
+    // G4/G6 param explode from JSON props
+    "g4_param_explode" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy(col("event_id"))),
+
+    // ================= dedup family ==================================
+    "dd_exact_dedup" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .groupBy(md5(col("text").cast("binary")).as("h"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
+        .orderBy(col("h"))),
+
+    // D4 dup groups (size class + hash, > 1 member)
+    "d4_dup_groups" -> ((s, dir) => {
+      val d = DedupOps.dupGroups(t(s, dir, "documents"), "text", "doc_id")
+      d.orderBy(col("doc_id"))
+    }),
+
+    "dd_minhash_pairs" -> ((s, dir) =>
+      DedupOps.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+        shingleN = 3, k = 20, bands = 5, threshold = 0.5)
+        .orderBy(col("idA"), col("idB"))),
+
+    "dd_simhash_pairs" -> ((s, dir) =>
+      DedupOps.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
+        .orderBy(col("idA"), col("idB"))),
+
+    "dd_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.filter(col("doc_id") === 0)
+        .select(DedupOps.shingles(col("text"), 2).as("shB"))
+      docs.crossJoin(broadcast(base))
+        .select(col("doc_id"),
+          round(DedupOps.jaccard(DedupOps.shingles(col("text"), 2), col("shB")), 6)
+            .as("jaccard2"))
+        .filter(col("jaccard2") > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    "dd_embedding_neardups" -> ((s, dir) =>
+      SimilarityOps.cosineNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.9).orderBy(col("idA"), col("idB"))),
+
+    // ================= similarity search =============================
+    "ann_brute_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      SimilarityOps.bruteTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+        .select(col("vec_id"))
+    }),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      SimilarityOps.lshTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+    }),
+
+    // ================= text analysis =================================
+    "tx_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "tx_quality" -> ((s, dir) => {
+      val cols = TextOps.qualityColumns(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id") +: cols.filter(c => Seq("n_tokens", "punct_ratio",
+          "digit_ratio", "stopword_ratio").contains(c._1))
+          .map { case (n, c) => c.as(n) }: _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "tx_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(TextOps.langId(col("text")).as("lang_pred"))
+        .groupBy(col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang_pred"))),
+
+    "tx_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprintMd5(col("text")).as("fp"))
+        .orderBy(col("doc_id"))),
+
+    "tx_fingerprint64" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.fingerprint64(col("text")).as("fp64"))
+        .orderBy(col("doc_id"))),
+
+    // ================= multimodal plumbing ===========================
+    "mm_media_meta" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), MultimodalOps.mediaMeta(col("text").cast("binary")).as("m"))
+        .select(col("doc_id"), col("m.n_bytes").cast("long").as("n_bytes"), col("m.format").as("format"))
+        .orderBy(col("doc_id"))),
+
+    "mm_decode_embed" -> ((s, dir) =>
+      MultimodalOps.decodeAndEmbed(
+        t(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload").toDF()
+        .select(col("id"), col("n_bytes"), col("format"), col("width"), col("height"))
+        .orderBy(col("id"))),
+
+    // ================= streaming-ish / events ========================
+    "ev_window_agg" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+        .orderBy(col("hour"), col("event_type"))),
+
+    "ev_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+      t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev").isNull ||
+            unix_timestamp(col("ts")) - unix_timestamp(col("prev")) > 1800, 1L).otherwise(0L))
+        .withColumn("sess_id", sum(col("new_sess")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id")).agg(max(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ================= crawl engine end-to-end (SURVEY §2.11/§3) ====
+    // rows-only checks: these exercise the full frontier engine on a
+    // deterministic synthetic world (no DuckDB analog).
+    "crawl_o1_order" -> ((s, _) =>
+      tinyCrawl(s).crawlOrder.orderBy(col("popPos"))),
+    "crawl_d1_seen" -> ((s, _) =>
+      tinyCrawl(s).seen.orderBy(col("seq"))),
+    "crawl_tx_final" -> ((s, _) =>
+      tinyCrawl(s).transactions.orderBy(col("seq"))),
+    "crawl_j2_links" -> ((s, _) =>
+      tinyCrawl(s).linksWithProcessed.orderBy(col("toSeq"), col("fromSeq"))),
+    "crawl_f3_hoststate" -> ((s, _) =>
+      tinyCrawl(s).hostState.orderBy(col("host")))
   )
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+  private def q(lang: String, words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString(", ")
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(l_quantity) AS sum_qty,
-        |       sum(l_extendedprice) AS sum_price,
-        |       count(*) AS n_rows
-        |FROM lineitem
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+        | sum(l_extendedprice) AS sum_price, count(*) AS n_rows
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "a2_link_stats" ->
+      """SELECT count(*) AS total,
+        | CAST(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END) AS BIGINT) AS returned,
+        | round(sum(CASE WHEN l_returnflag='R' THEN 1 ELSE 0 END)*100.0/count(*), 6)
+        |   AS pct_returned
+        |FROM lineitem""".stripMargin,
+
+    "a1_first_seen_ids" ->
+      """SELECT row_number() OVER (ORDER BY first_seen) - 1 AS id, lang, first_seen
+        |FROM (SELECT lang, min(doc_id) AS first_seen FROM documents GROUP BY lang)
+        |ORDER BY id""".stripMargin,
+
+    "a5_group_max" ->
+      """SELECT event_type, max(value) AS max_value, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "j1_fact_dim_join" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey=c_custkey
+        |JOIN nation ON c_nationkey=n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "j2_edge_both_ends" ->
+      """SELECT s_name, count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey=p_partkey
+        |JOIN supplier ON l_suppkey=s_suppkey
+        |GROUP BY s_name ORDER BY s_name""".stripMargin,
+
+    "j4_top1_per_key" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey FROM (
+        | SELECT l_orderkey, l_linenumber, l_partkey,
+        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        | FROM lineitem) WHERE rn=1 ORDER BY l_orderkey""".stripMargin,
+
+    "d1_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "f9_semi_join" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |  WHERE l_orderkey=o_orderkey AND l_discount > 0.05)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "u1_except_all" ->
+      """SELECT custkey, count(*) AS n FROM (
+        | SELECT o_custkey AS custkey FROM orders
+        | EXCEPT ALL
+        | SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0)
+        |GROUP BY custkey ORDER BY custkey""".stripMargin,
+
+    "u2_array_sets" ->
+      """SELECT l_orderkey,
+        | array_to_string(list_sort(list_distinct(list(l_suppkey))), ',') AS suppkeys,
+        | CAST(len(list_distinct(list(l_suppkey))) AS BIGINT) AS n_supp
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
+
+    "o3_report_sort" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+        |ORDER BY l_extendedprice, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "o1_running_sum" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "p1_url_defrag" ->
+      """SELECT o_orderkey,
+        | regexp_replace('http://h' || (o_custkey % 20) || '.test/p/' || o_orderkey
+        |   || '#s' || (o_orderkey % 5), '#.*$', '') AS canon
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "p12_url_host" ->
+      """SELECT 'h' || (o_custkey % 20) || '.test:80' AS host, count(*) AS n
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "p13_content_hash" ->
+      "SELECT doc_id, md5(text) AS h FROM documents ORDER BY doc_id",
+
+    "p14_regex_extract" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text, '\b[a-z]{4}\b')) AS BIGINT) AS n_four
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "g1_explode_wordcount" ->
+      """SELECT word, count(*) AS n FROM (
+        | SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents)
+        |GROUP BY word ORDER BY word""".stripMargin,
+
+    "g4_param_explode" ->
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "dd_exact_dedup" ->
+      """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "tx_token_count" ->
+      """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "ev_window_agg" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        | round(sum(value), 2) AS total
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "ev_sessionize" ->
+      """SELECT user_id, CAST(max(sess_id) AS BIGINT) AS n_sessions, count(*) AS n_events FROM (
+        | SELECT user_id, ts,
+        |  sum(CASE WHEN prev IS NULL OR epoch(ts)-epoch(prev) > 1800 THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |       FROM events))
+        |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "mm_media_meta" ->
+      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, 'unknown' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

@@ -1,0 +1,339 @@
+package graft.frontier
+
+import graft.checks.Checks
+import graft.model._
+import graft.plans.Ranks
+import graft.seen.UrlSeen
+import graft.url.UrlExpressions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One crawl round as a pure DataFrame transformation (SURVEY.md §7.5).
+  *
+  * Reproduces the reference's per-transaction pipeline (core.py:89-161,
+  * SURVEY.md §3.2) over the whole frontier at once:
+  *
+  *   pop(pos order) → RFC-3987 gate → worth gate → depth → robots →
+  *   politeness (virtual clock) → fetch (join vs url_map, J6) →
+  *   redirect rewrite → header gates → body (join vs docs) →
+  *   canonical-span rewrite → link explode (G1) → canonicalize →
+  *   deterministic seq assignment → dedupe vs URL-seen (D1) →
+  *   next frontier.
+  *
+  * Scale notes: no driver-side row state (only O(1) counters); global
+  * orderings via [[Ranks.withGlobalRank]] (range-partitioned, never a
+  * single-partition window); per-host windows partition by host (the
+  * salted host-partitioning axis); URL-seen dedup = bloom prefilter +
+  * exact anti-join ([[UrlSeen]]); rule/host tables broadcast.
+  */
+object CrawlRound {
+
+  /** World tables as DataFrames (columns per graft.model case classes). */
+  case class WorldDF(docs: DataFrame, urlMap: DataFrame, hosts: DataFrame,
+      rules: DataFrame)
+
+  case class RoundIn(
+      round: Int,
+      frontier: DataFrame, // seq,pos,uri,origUri,depth,srcSeq,method,expected
+      seen: DataFrame, // uri, method, seq
+      hostState: DataFrame, // host, lastVisitS
+      dupState: DataFrame, // size, bhash, pop, uri (dupdetect accumulator)
+      nextSeq: Long, nextPos: Long, seenCount: Long,
+      seenBloom: Option[Array[Byte]])
+
+  case class RoundOut(
+      frontierOut: DataFrame,
+      seenDelta: DataFrame,
+      txDelta: DataFrame, // + round column
+      links: DataFrame, // fromSeq,toUri,toSeq,createdAtPop
+      defects: DataFrame, // popPos,phase,responseSeq,typeName,evidence,severity
+      aliases: DataFrame,
+      crawlOrder: DataFrame, // popPos, seq, uri
+      hostStateOut: DataFrame,
+      dupStateDelta: DataFrame,
+      lineage: DataFrame, // metric, partition, count
+      cached: Seq[DataFrame]) // persisted intermediates; unpersist after commit
+
+  private val LinkKinds = Seq("link", "css-link", "img", "iframe", "frame")
+
+  def run(spark: SparkSession, world: WorldDF, cfg: CrawlConfig, in: RoundIn): RoundOut = {
+    import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
+    val S = lit(in.round * cfg.rescheduleBoundS)
+    val bound = lit(cfg.rescheduleBoundS)
+
+    // ---- gates ------------------------------------------------------
+    val worthCol: Column = cfg.uriRegexes.map(r => col("uri").rlike(r))
+      .reduceOption(_ || _).getOrElse(lit(true))
+
+    // robots rules per host, broadcast; longest-prefix match, allow wins
+    // ties (reppy semantics; robots.py:40-63) — pure array expressions.
+    val rulesAgg = world.rules.where(col("agent") === "*")
+      .groupBy("host").agg(collect_list(struct(col("rule"), col("path_pref"))).as("rrules"))
+    val disallowedCol: Column = {
+      val matching = filter(col("rrules"), r => startswith(col("pathq"), r.getField("path_pref")))
+      val best = try_element_at(array_sort(transform(matching, r => struct(
+        length(r.getField("path_pref")).as("l"),
+        (r.getField("rule") === "allow").as("a"),
+        r.getField("rule").as("rule")))), lit(-1))
+      col("rrules").isNotNull && size(matching) > 0 && best.getField("rule") === "disallow"
+    }
+
+    val f1 = in.frontier
+      .withColumn("host", url_host(col("uri")))
+      .withColumn("pathq", url_pathq(col("uri")))
+      .join(broadcast(rulesAgg), Seq("host"), "left")
+      .withColumn("gate",
+        when(!url_is_valid(col("uri")), "invalid")
+          .when(!worthCol, "notworth")
+          .when(lit(cfg.maxDepth) > 0 && col("depth") > cfg.maxDepth, "deep")
+          .when(disallowedCol, "robots")
+          .otherwise("pass"))
+      .drop("rrules", "pathq")
+
+    // ---- fetch = frontier ⋈ url_map (J6), redirect resolved in one hop
+    val um = world.urlMap
+    val umT = um.select(col("url").as("t_url"), col("doc_id").as("t_doc_id"),
+      col("status").as("t_status"), col("content_type").as("t_ct"),
+      col("content_length").as("t_len"), col("detected_mime").as("t_mime"))
+    val f2 = f1
+      .join(um, f1("uri") === um("url"), "left")
+      .join(umT, col("redirect_to") === col("t_url"), "left")
+      .withColumn("redirected", col("redirect_to").isNotNull)
+      .withColumn("finStatus",
+        when(col("url").isNull, lit(null).cast(IntegerType))
+          .when(col("redirected"), coalesce(col("t_status"), lit(404)))
+          .otherwise(col("status")))
+      .withColumn("finCtRaw",
+        coalesce(when(col("redirected"), col("t_ct")).otherwise(col("content_type")), lit("")))
+      .withColumn("ct", split(col("finCtRaw"), ";").getItem(0))
+      .withColumn("finDocId", when(col("redirected"), col("t_doc_id")).otherwise(col("doc_id")))
+      .withColumn("finLen", when(col("redirected"), col("t_len")).otherwise(col("content_length")))
+      .withColumn("finMime", when(col("redirected"), col("t_mime")).otherwise(col("detected_mime")))
+      .withColumn("finalUrl",
+        when(col("redirected"), url_defrag(col("redirect_to"))).otherwise(col("uri")))
+      .drop("t_url", "t_doc_id", "t_status", "t_ct", "t_len", "t_mime",
+        "doc_id", "status", "content_type", "content_length", "detected_mime", "redirect_to")
+
+    val maxLenGate: Column = cfg.maxContentLength
+      .map(m => col("finLen") > m).getOrElse(lit(false))
+    val f3 = f2.withColumn("fetchClass",
+      when(col("gate") =!= "pass", col("gate"))
+        .when(!url_scheme(col("uri")).isin("http", "https"), "scheme")
+        .when(col("url").isNull, "neterr")
+        .when(col("finStatus") =!= 200, "badstatus")
+        .when(!col("ct").isin(cfg.acceptedTypes: _*), "cttype")
+        .when(maxLenGate, "toolong")
+        .when(col("expected").isNotNull && !col("ct").startsWith(col("expected")), "mistyped")
+        .otherwise("ok"))
+      .withColumn("wouldSucceed", col("fetchClass") === "ok")
+
+    // ---- politeness (virtual clock; declared model, oracle §deviations)
+    val wHost = Window.partitionBy(col("host"))
+    val f4 = f3
+      .join(broadcast(world.hosts.select(col("host"), col("crawl_delay_s").as("d"))), Seq("host"), "left")
+      .join(broadcast(in.hostState.select(col("host"), col("lastVisitS").as("hvt"))), Seq("host"), "left")
+      .withColumn("firstSuccPos",
+        min(when(col("wouldSucceed") && col("gate") === "pass", col("pos"))).over(wHost))
+      .withColumn("defer",
+        (col("gate") === "pass") && col("d").isNotNull && (
+          when(col("hvt").isNotNull && col("d") <= bound, lit(false))
+            .when(col("hvt").isNotNull &&
+              (col("hvt") + col("d") - greatest(S, col("hvt")) > bound), lit(true))
+            .when(col("hvt").isNotNull,
+              col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))
+            .otherwise((col("d") > bound) &&
+              col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))))
+
+    // ---- body (J6b: docs join) + canonical-span rewrite (P8) ---------
+    val sortedSpans = expr(
+      "array_sort(spans, (l, r) -> case when l.offset < r.offset then -1 " +
+        "when l.offset > r.offset then 1 else 0 end)")
+    val f5 = f4
+      .join(world.docs, f4("finDocId") === world.docs("doc_id"), "left")
+      .withColumn("spansSorted", sortedSpans)
+      .withColumn("canonSpan",
+        try_element_at(filter(col("spansSorted"), s => s.getField("kind") === "canonical"), lit(1)))
+      .withColumn("uriOk",
+        when(col("canonSpan").isNotNull, url_defrag(col("canonSpan").getField("text")))
+          .otherwise(url_defrag(col("finalUrl"))))
+      .drop("doc_id", "spans")
+
+    // Every output branches off f5 / kids2 / accepted: persist them so
+    // the ~10 output writes don't recompute the whole round pipeline.
+    val f5c = f5.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val processed = f5c.filter(!col("defer"))
+    val deferred = f5c.filter(col("defer"))
+      .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method", "expected")
+
+    // popPos ≡ pos: positions are dense in arrival order and every
+    // assigned position is popped exactly once, in order (§3.2).
+    val crawlOrder = in.frontier.select(col("pos").as("popPos"), col("seq"), col("uri"))
+
+    // ---- transactions delta (only DONE-OK persists uri/ct/status) ----
+    val statusCol =
+      when(col("fetchClass").isin("invalid", "neterr", "badstatus"), VerificationStatus.DoneKo)
+        .when(col("fetchClass") === "ok", VerificationStatus.DoneOk)
+        .otherwise(VerificationStatus.DoneIgnored)
+    val txProcessed = processed.select(
+      col("seq"), col("method"),
+      when(col("fetchClass") === "ok", col("uriOk")).otherwise(col("origUri")).as("uri"),
+      when(col("fetchClass") === "ok", col("finStatus")).otherwise(lit(null).cast(IntegerType))
+        .as("responseStatus"),
+      when(col("fetchClass") === "ok", col("ct")).otherwise(lit(null).cast(StringType))
+        .as("contentType"),
+      statusCol.as("verificationStatus"),
+      col("depth"), col("expected"), lit(in.round).as("round"))
+
+    // ---- defects (deterministic order key: (popPos=pos, phase)) ------
+    def defectDf(cond: Column, phase: Int, seqCol: Column, name: String,
+        evidence: Column, sev: Double): DataFrame =
+      processed.filter(cond).select(
+        col("pos").as("popPos"), lit(phase).as("phase"), seqCol.as("responseSeq"),
+        lit(name).as("typeName"), evidence.as("evidence"), lit(sev).as("severity"))
+    val reached200 = (col("gate") === "pass") &&
+      url_scheme(col("uri")).isin("http", "https") &&
+      col("url").isNotNull && (col("finStatus") === 200)
+    val defects = Seq(
+      defectDf(col("fetchClass") === "invalid", 0, col("seq"), "invaliduri", col("uri"), 1.0),
+      defectDf(col("fetchClass") === "neterr", 0, col("seq"), "neterr",
+        lit("All %s attempts to get %s failed."), 0.9),
+      defectDf(col("fetchClass") === "badstatus", 0, col("srcSeq"), "badlink", col("uri"), 1.0),
+      defectDf(reached200 && trim(col("finCtRaw")) === "", 1, col("seq"), "badtype",
+        lit(null).cast(StringType), 0.5),
+      defectDf(col("fetchClass") === "mistyped", 2, col("seq"), "mistyped",
+        concat(lit("Expected: "), col("expected"), lit(" Got: "), col("ct")), 0.8),
+      defectDf(col("fetchClass") === "ok" && col("finMime").isNotNull &&
+        col("finMime") =!= col("ct"), 3, col("seq"), "type-mishmash",
+        concat(lit("Declared "), col("ct"), lit(",detected "), col("finMime")), 0.3)
+    ).reduce(_ unionByName _)
+
+    // ---- checker plugins over OK pages (phases 4..11, Checks) --------
+    // dupdetect (D4): vs all earlier OK pages (cross-round state +
+    // earlier pops this round) with equal (size, body) and different uri
+    val okDocs = processed.filter(col("fetchClass") === "ok" && col("spansSorted").isNotNull)
+    val dupCur = okDocs.select(col("pos"), col("seq"), col("uriOk").as("uri"),
+      col("finLen").as("size"), xxhash64(Checks.bodyStringCol(col("spansSorted"))).as("bhash"))
+    val dupStateDelta = dupCur.select(col("size"), col("bhash"), col("pos").as("pop"), col("uri"))
+    val priors = in.dupState.unionByName(dupStateDelta)
+      .select(col("size"), col("bhash"), col("pop").as("p_pop"), col("uri").as("p_uri"))
+    val dupDefects = dupCur.join(priors, Seq("size", "bhash"))
+      .filter(col("p_uri") =!= col("uri") && col("p_pop") < col("pos"))
+      .groupBy(col("pos"), col("seq"))
+      .agg(min(struct(col("p_pop"), col("p_uri"))).as("first"))
+      .select(col("pos").as("popPos"), lit(4).as("phase"), col("seq").as("responseSeq"),
+        lit("dup").as("typeName"), col("first").getField("p_uri").as("evidence"),
+        lit(0.7).as("severity"))
+    val okHtmlChk = processed.filter(col("fetchClass") === "ok" &&
+      col("ct") === "text/html" && col("spansSorted").isNotNull)
+      .select(col("pos"), col("seq"), col("spansSorted"))
+    val checkerDefects = (dupDefects +: Checks.pageDefects(okHtmlChk)).reduce(_ unionByName _)
+
+    // ---- link explode (G1) + canonicalization chain (P1-P5) ----------
+    val okHtml = processed.filter(col("fetchClass") === "ok" &&
+      col("ct") === "text/html" && col("spansSorted").isNotNull)
+    val kids0 = okHtml.select(
+      col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
+      col("uriOk").as("base"),
+      posexplode(filter(col("spansSorted"),
+        s => s.getField("kind").isInCollection(LinkKinds))).as(Seq("childIdx", "span")))
+    val kids1 = kids0
+      .withColumn("joined", url_join(col("base"), col("span").getField("text")))
+      .filter(url_scheme(col("joined")).isin("http", "https")) // links_finder:57-59
+      .withColumn("addr", url_quote(col("joined")))
+      .withColumn("decoded", url_unquote2(col("addr")))
+      .withColumn("canon", url_defrag(col("decoded")))
+      .withColumn("cexpected",
+        when(col("span").getField("kind") === "img", "image/").otherwise(lit(null).cast(StringType)))
+      .withColumn("cdepth", col("depth") + 1)
+      .select("parentSeq", "parentPos", "childIdx", "canon", "decoded", "cexpected", "cdepth")
+
+    // idno parity: every scheme-passing link consumes a seq, dups
+    // included (transaction.py:102-115); order = (parent pop, doc order)
+    val kids2 = Ranks.withGlobalRank(kids1, Seq(col("parentPos"), col("childIdx")), "seqRank")
+      .withColumn("seq", col("seqRank") + in.nextSeq).drop("seqRank")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- dedup: intra-round first-wins + URL-seen bands (D1) ---------
+    val firstKids = kids2
+      .withColumn("rn", row_number().over(Window.partitionBy(col("canon")).orderBy(col("seq"))))
+      .filter(col("rn") === 1).drop("rn")
+      .withColumn("method", lit("GET"))
+    val newItems = UrlSeen.dedupeAgainstSeen(
+      firstKids, in.seen.select(col("uri").as("canon"), col("method")),
+      "canon", "method", in.seenBloom)
+
+    // urlLimit (F10): global dense rank by seq vs the remaining budget;
+    // over-limit items vanish entirely (SeenLimit: no rows logged)
+    val (accepted, droppedCanons) = cfg.urlLimit match {
+      case None => (newItems, None)
+      case Some(limit) =>
+        val ranked = Ranks.withGlobalRank(newItems, Seq(col("seq")), "limRank")
+        (ranked.filter(col("limRank") + in.seenCount < limit).drop("limRank"),
+          Some(ranked.filter(col("limRank") + in.seenCount >= limit).select(col("canon"))))
+    }
+
+    val acceptedC = accepted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // link rows: all created links, duplicates included, except SeenLimit
+    // drops — an over-limit canon never enters the seen set, so EVERY
+    // same-round occurrence hits SeenLimit and logs nothing
+    // (transaction.py:159-161, 212-233)
+    val linksAll = droppedCanons match {
+      case None => kids2
+      case Some(d) => kids2.join(d, Seq("canon"), "left_anti")
+    }
+    val links = linksAll.select(col("parentSeq").as("fromSeq"), col("canon").as("toUri"),
+      col("seq").as("toSeq"), col("parentPos").as("createdAtPop"))
+
+    val txNew = acceptedC.select(col("seq"), col("method"), col("canon").as("uri"),
+      lit(null).cast(IntegerType).as("responseStatus"),
+      lit(null).cast(StringType).as("contentType"),
+      lit(VerificationStatus.Requested).as("verificationStatus"),
+      col("cdepth").as("depth"), col("cexpected").as("expected"), lit(in.round).as("round"))
+    val aliases = acceptedC.select(col("seq"), col("decoded").as("uri"))
+    val seenDelta = acceptedC.select(col("canon").as("uri"), col("method"), col("seq"))
+
+    // ---- next frontier: deferred ∪ accepted, serial-FIFO arrival order
+    val defPart = deferred.select(col("pos").as("creatorPos"), lit(0L).as("ci"),
+      col("seq"), col("uri"), col("origUri"), col("depth"), col("srcSeq"),
+      col("method"), col("expected"))
+    val newPart = acceptedC.select(col("parentPos").as("creatorPos"),
+      (col("childIdx").cast("long") + 1L).as("ci"), col("seq"), col("canon").as("uri"),
+      col("canon").as("origUri"), col("cdepth").as("depth"),
+      col("parentSeq").as("srcSeq"), col("method"), col("cexpected").as("expected"))
+    val frontierOut = Ranks.withGlobalRank(defPart.unionByName(newPart),
+      Seq(col("creatorPos"), col("ci")), "posRank")
+      .withColumn("pos", col("posRank") + in.nextPos)
+      .select("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected")
+
+    // ---- host politeness state (closed form of the serial recurrence)
+    val succ = processed.filter(col("wouldSucceed") && col("gate") === "pass")
+      .groupBy("host").agg(count(lit(1)).as("J"),
+        first(col("d")).as("d"), first(col("hvt")).as("hvt0"))
+      .withColumn("Jeff", when(col("d").isNotNull && col("d") > bound, least(col("J"), lit(1L)))
+        .otherwise(col("J")))
+      .withColumn("newVt",
+        when(col("d").isNull || col("d") <= 0, S.cast(DoubleType))
+          .otherwise(greatest(S, coalesce(col("hvt0") + col("d"), S)) +
+            (col("Jeff") - 1).cast(DoubleType) * col("d")))
+      .select(col("host"), col("newVt"))
+    val hostStateOut = in.hostState.join(succ, Seq("host"), "full")
+      .select(col("host"), coalesce(col("newVt"), col("lastVisitS")).as("lastVisitS"))
+
+    // ---- per-partition lineage (A4 / north rule) ----------------------
+    def lin(df: DataFrame, metric: String): DataFrame =
+      df.groupBy(spark_partition_id().as("partition"))
+        .agg(count(lit(1)).as("count")).withColumn("metric", lit(metric))
+        .select("metric", "partition", "count")
+    val lineage = lin(in.frontier, "frontierIn")
+      .unionByName(lin(processed.filter(col("wouldSucceed")), "fetched"))
+      .unionByName(lin(kids2, "discovered"))
+      .unionByName(lin(acceptedC, "deduped"))
+      .unionByName(lin(frontierOut, "frontierOut"))
+
+    RoundOut(frontierOut, seenDelta, txProcessed.unionByName(txNew), links,
+      defects.unionByName(checkerDefects), aliases, crawlOrder, hostStateOut,
+      dupStateDelta, lineage, cached = Seq(f5c, kids2, acceptedC))
+  }
+}

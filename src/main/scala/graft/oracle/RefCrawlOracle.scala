@@ -97,6 +97,56 @@ object RefCrawlOracle {
     def delayOf(host: String): Option[Double] =
       world.hosts.get(host).flatMap(_.crawl_delay_s)
 
+    // dupdetect accumulator: (size, canonical body) → [(pop, uri)...]
+    val dupPriors = mutable.HashMap
+      .empty[(Long, String), mutable.ArrayBuffer[(Long, String)]]
+
+    /** Checker plugins over the span model (graft.checks.Checks phases;
+      * run after linksFinder per declared plugin order).
+      */
+    def runCheckers(doc: Doc, item: Item, ct: String, entry: UrlMapEntry,
+        defect: (Long, String, String, Double, Int) => Unit, myPop: Long): Unit = {
+      val spans = doc.spans.sortBy(_.offset)
+      // dupdetect (phase 4) — every content type (dupdet acceptType=true)
+      val key = (entry.content_length, graft.checks.Checks.bodyString(doc.spans))
+      val priors = dupPriors.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+      priors.find(_._2 != item.uri).foreach { case (_, puri) =>
+        defect(item.seq, "dup", puri, 0.7, 4)
+      }
+      priors += ((myPop, item.uri))
+      if (ct == "text/html") {
+        spans.find(_.kind == "css-int").foreach { c => // css_scraper internal (5)
+          val len = Option(c.text).getOrElse("").getBytes("UTF-8").length
+          if (len > 1024) defect(item.seq, "seo:huge_internal", len.toString, 0.5, 5)
+        }
+        val seenStyles = mutable.HashSet.empty[String] // inline dups (6)
+        for (sp <- spans if sp.kind == "style") {
+          if (seenStyles.contains(sp.text))
+            defect(item.seq, "seo:duplicit_inline", sp.text, 0.1, 6)
+          else seenStyles += sp.text
+        }
+        val nDesc = spans.count(sp => sp.kind == "meta" && sp.text == "description")
+        if (nDesc == 0) defect(item.seq, "seo:nodsc", "", 0.4, 7)
+        else if (nDesc > 1) defect(item.seq, "seo:multidsc", nDesc.toString, 0.4, 7)
+        val nKeys = spans.count(sp => sp.kind == "meta" && sp.text == "keywords")
+        if (nKeys == 0) defect(item.seq, "seo:nokeys", "", 0.4, 8)
+        else if (nKeys > 1) defect(item.seq, "seo:multikeys", nKeys.toString, 0.4, 8)
+        for (sp <- spans if sp.kind == "script") { // no_script (9)
+          if (!sp.text.contains("noscript"))
+            defect(item.seq, "noscript-miss", "Script: " + sp.text, 0.7, 9)
+          if (!sp.text.contains("comment"))
+            defect(item.seq, "script-no-comment", "Script: " + sp.text, 0.4, 9)
+        }
+        for (sp <- spans if sp.kind == "img") { // seo_images (10)
+          val flags = Option(sp.media_ref).getOrElse("")
+          if (!flags.contains("w")) defect(item.seq, "seo:img:nowidth", sp.text, 0.6, 10)
+          if (!flags.contains("h")) defect(item.seq, "seo:img:noheight", sp.text, 0.6, 10)
+        }
+        for (sp <- spans if sp.kind == "mail") // mailer (11)
+          defect(item.seq, "mail", graft.checks.Checks.mailEvidence(sp.text), 0.8, 11)
+      }
+    }
+
     /** createTransaction + TransactionQueue.push. Returns the enqueued
       * item, or None when deduplicated / over the url limit.
       */
@@ -225,6 +275,11 @@ object RefCrawlOracle {
                         }
                         childIdx += 1
                       }
+                    }
+                    // checker plugins after linksFinder (declared plugin
+                    // order; phases 4..11 — see graft.checks.Checks)
+                    doc.foreach { dd =>
+                      runCheckers(dd, item, ct, entry, defect, myPop)
                     }
                     // DONE-OK: the only path that persists uri/ct/status
                     transactions(item.seq) = TransactionRow(item.seq, item.method,

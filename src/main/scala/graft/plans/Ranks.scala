@@ -1,0 +1,43 @@
+package graft.plans
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scalable global ordering primitives.
+  *
+  * A naive `row_number().over(Window.orderBy(...))` collapses the whole
+  * dataset into ONE partition — fatal at 10^10-frontier scale. This
+  * helper computes a dense global 0-based rank with the classic
+  * two-phase pattern: range-repartition on the sort keys, rank locally
+  * per partition, then add broadcast per-partition offsets (one tiny
+  * count aggregation). Deterministic provided the sort keys are unique
+  * (range boundaries only decide placement, never the rank value).
+  */
+object Ranks {
+
+  /** Adds `rankCol` = dense global 0-based rank by `orderCols` (which
+    * must be a unique key). Cost: one range shuffle + one tiny count agg.
+    */
+  def withGlobalRank(df: DataFrame, orderCols: Seq[Column], rankCol: String,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val parted = df
+      .repartitionByRange(p, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+    // per-partition offsets: P rows — broadcast join, no second big shuffle
+    val offsets = parted.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_cnt")).over(
+          Window.orderBy(col("__gr_pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    parted
+      .join(broadcast(offsets), "__gr_pid")
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy(col("__gr_pid")).orderBy(orderCols: _*))
+          .cast("long") + col("__gr_off") - 1L)
+      .drop("__gr_pid", "__gr_off")
+  }
+}

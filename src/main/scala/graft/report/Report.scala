@@ -1,0 +1,130 @@
+package graft.report
+
+import graft.frontier.CrawlDriver.CrawlRun
+import graft.model.VerificationStatus
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Report layer (SURVEY.md §3.3): the reference's only genuinely
+  * relational queries (database.py:264-459) over the crawl outputs.
+  */
+object Report {
+
+  /** Defect-type dimension with first-seen dense ids (A1,
+    * database.py:156-169): id order = first emission order, which is
+    * (popPos, phase) — deterministic by construction.
+    */
+  def defectTypes(run: CrawlRun): DataFrame = {
+    run.defects
+      .groupBy(col("typeName"))
+      .agg(min(struct(col("popPos"), col("phase"))).as("firstSeen"))
+      .withColumn("id", row_number().over(Window.orderBy(col("firstSeen"))).cast("long") - 1)
+      .select(col("id"), col("typeName").as("type"))
+  }
+
+  /** J1 + O3 (database.py:311-320): invalid links = defects of type
+    * badlink/timeout joined to their transaction, ORDER BY severity, uri.
+    */
+  def invalidLinks(run: CrawlRun): DataFrame = {
+    val d = run.defects.filter(col("typeName").isin("badlink", "timeout", "neterr"))
+    val tx = run.transactions.select(col("seq"), col("uri"), col("depth"))
+    d.join(tx, d("responseSeq") === tx("seq"), "left")
+      .select(col("typeName").as("type"), col("evidence"), col("severity"),
+        col("uri"), col("depth"))
+      .orderBy(col("severity"), col("uri"), col("evidence"))
+  }
+
+  /** J1 + O4 (database.py:322-332): other defects,
+    * ORDER BY severity DESC, type, uri.
+    */
+  def otherDefects(run: CrawlRun): DataFrame = {
+    val d = run.defects.filter(!col("typeName").isin("badlink", "timeout", "neterr"))
+    val types = defectTypes(run)
+    val tx = run.transactions.select(col("seq"), col("uri"))
+    d.join(broadcast(types), d("typeName") === types("type"))
+      .join(tx, d("responseSeq") === tx("seq"), "left")
+      .select(col("id").as("typeId"), col("type"), col("evidence"),
+        col("severity"), col("uri"))
+      .orderBy(col("severity").desc, col("type"), col("uri"), col("evidence"))
+  }
+
+  /** J2 (database.py:375-412): edge list joined to BOTH endpoints;
+    * good = target not DONE-KO; plus the proc/total/good stats (A2).
+    */
+  def linkReport(run: CrawlRun): DataFrame = {
+    val links = run.linksWithProcessed
+    val tx = run.transactions
+    val req = tx.select(col("seq").as("fromSeq"), col("uri").as("fromUri"))
+    val resp = tx.select(col("seq").as("respSeq"), col("uri").as("respUri"),
+      col("verificationStatus").as("respStatus"))
+    // the duplicate link's own seq has no transaction row; resolve the
+    // response endpoint by toUri's first-seen seq instead (the reference
+    // joins on uri-matched rows, database.py:389-396)
+    val firstSeen = run.seen.select(col("uri").as("toUri"), col("seq").as("respSeq"))
+    links.join(req, Seq("fromSeq"), "left")
+      .join(firstSeen, Seq("toUri"), "left")
+      .join(resp, Seq("respSeq"), "left")
+      .withColumn("good",
+        col("respStatus").isNull || col("respStatus") =!= VerificationStatus.DoneKo)
+      .select(col("fromSeq"), col("fromUri"), col("toUri"), col("processed"), col("good"))
+  }
+
+  /** A2 link statistics (database.py:379-411). */
+  def linkStats(run: CrawlRun): DataFrame =
+    linkReport(run).agg(
+      count(lit(1)).as("total"),
+      sum(when(col("processed"), 1L).otherwise(0L)).as("processed"),
+      sum(when(col("good"), 1L).otherwise(0L)).as("good"),
+      round(sum(when(col("processed"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 2)
+        .as("pct_processed"))
+
+  /** J5 aliases per transaction as an array column (database.py:456-458). */
+  def aliasesPerTransaction(run: CrawlRun): DataFrame =
+    run.aliases.groupBy(col("seq")).agg(sort_array(collect_list(col("uri"))).as("aliases"))
+
+  /** S6 sitemap.xml generator (sitemap_generator.py:34-64): DONE-OK
+    * URIs matching the regex, XML urlset written driver-side (the
+    * report artifact is small; the scan/filter is distributed).
+    */
+  def sitemapXml(run: CrawlRun, uriRegex: String): String = {
+    val urls = run.transactions
+      .filter(col("verificationStatus") === VerificationStatus.DoneOk &&
+        col("uri").rlike(uriRegex))
+      .select(col("uri")).orderBy(col("uri"))
+      .collect().map(_.getString(0))
+    val items = urls.map(u => s"  <url><loc>${xmlEscape(u)}</loc></url>").mkString("\n")
+    s"""<?xml version="1.0" encoding="UTF-8"?>
+       |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+       |$items
+       |</urlset>""".stripMargin
+  }
+
+  /** S7 YAML report exporter (yaml_exporter.py:24-33): the full payload
+    * (transactions + links + defects) as YAML, driver-side writer over
+    * distributed scans.
+    */
+  def yamlReport(run: CrawlRun, maxRows: Int = 10000): String = {
+    def yStr(s: String): String =
+      if (s == null) "null" else "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val sb = new StringBuilder("transactions:\n")
+    run.transactions.orderBy(col("seq")).limit(maxRows).collect().foreach { r =>
+      sb.append(s"- seq: ${r.getLong(0)}\n  uri: ${yStr(r.getString(2))}\n")
+        .append(s"  status: ${yStr(r.getString(5))}\n  depth: ${r.getInt(6)}\n")
+    }
+    sb.append("links:\n")
+    linkReport(run).orderBy(col("fromSeq"), col("toUri")).limit(maxRows).collect().foreach { r =>
+      sb.append(s"- from: ${r.getLong(0)}\n  to: ${yStr(r.getString(2))}\n")
+        .append(s"  processed: ${r.getBoolean(3)}\n  good: ${r.getBoolean(4)}\n")
+    }
+    sb.append("defects:\n")
+    run.defects.orderBy(col("popPos"), col("phase")).limit(maxRows).collect().foreach { r =>
+      sb.append(s"- type: ${yStr(r.getString(3))}\n  evidence: ${yStr(r.getString(4))}\n")
+        .append(s"  severity: ${r.getDouble(5)}\n  responseSeq: ${r.getLong(2)}\n")
+    }
+    sb.toString
+  }
+
+  private def xmlEscape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+}

@@ -1,0 +1,97 @@
+package graft.seen
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** The URL-seen structure (SURVEY.md §2.4 D1, north-rule "bloom/cuckoo").
+  *
+  * Semantics: exact set membership on the canonicalized (uri, method)
+  * pair, reproducing the reference's datrie keyed by defragged URI
+  * (transaction.py:196-233). The distributed design is a two-band
+  * structure:
+  *
+  *   band 1 (probabilistic prefilter): a Bloom filter over
+  *     xxhash64(uri ∥ 0x1F ∥ method) built distributively by a typed
+  *     [[Aggregator]] (map-side partial blooms merged by OR — one pass,
+  *     no row shuffle). Candidates the bloom rejects are DEFINITELY new
+  *     and skip the anti-join shuffle entirely.
+  *   band 2 (exact fallback): candidates the bloom accepts (real hits +
+  *     false positives) are verified by a left_anti join against the
+  *     seen table. This is the "cuckoo fallback" band — exactness is
+  *     guaranteed by construction; the bloom only buys shuffle
+  *     reduction. Blooms have no false negatives, so no URL can be
+  *     dropped incorrectly.
+  *
+  * At 10^10 scale the bloom is built per host-hash partition and only
+  * the partitions matching the round's candidate hosts are broadcast;
+  * in this sandbox a single merged bloom suffices (documented scale
+  * path, same code shape).
+  */
+object UrlSeen {
+
+  /** Seen-key hash: xxhash64 of "urimethod". */
+  def seenKey(uri: Column, method: Column): Column =
+    xxhash64(concat_ws("\u001f", uri, method))
+
+  /** Distributed bloom build over a Long key column. */
+  class BloomAggregator(expectedItems: Long, fpp: Double)
+      extends Aggregator[Long, BloomFilter, Array[Byte]] {
+    override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+    override def reduce(b: BloomFilter, key: Long): BloomFilter = { b.putLong(key); b }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = { a.mergeInPlace(b); a }
+    override def finish(b: BloomFilter): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }
+    override def bufferEncoder: Encoder[BloomFilter] = Encoders.kryo[BloomFilter]
+    override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Builds a serialized bloom over `keyCol` of `df` (driver gets only
+    * the fixed-size bitset, never the rows).
+    */
+  def buildBloom(df: DataFrame, keyCol: Column, expectedItems: Long,
+      fpp: Double = 1e-4): Array[Byte] = {
+    import df.sparkSession.implicits._
+    val agg = new BloomAggregator(math.max(expectedItems, 64L), fpp)
+    df.select(keyCol.cast("long")).as[Long].select(agg.toColumn).head()
+  }
+
+  def deserialize(bytes: Array[Byte]): BloomFilter =
+    BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
+
+  /** candidates ∖ seen on `uriCol`/`methodCol` (exact), with the bloom
+    * prefilter splitting candidates into definitely-new (bypass the
+    * shuffle) and maybe-seen (verified by left_anti).
+    */
+  def dedupeAgainstSeen(candidates: DataFrame, seen: DataFrame,
+      uriCol: String, methodCol: String, bloomBytes: Option[Array[Byte]]): DataFrame = {
+    val seenKeyed = seen.select(col(uriCol).as("__s_uri"), col(methodCol).as("__s_m"))
+    def anti(df: DataFrame): DataFrame =
+      df.join(seenKeyed,
+        df(uriCol) === col("__s_uri") && df(methodCol) === col("__s_m"), "left_anti")
+    bloomBytes match {
+      case None => anti(candidates)
+      case Some(bytes) =>
+        val spark = candidates.sparkSession
+        val bcast = spark.sparkContext.broadcast(bytes)
+        val mightContain = udf { (h: Long) => BloomHolder.get(bcast.value).mightContainLong(h) }
+        val keyed = candidates.withColumn("__might", mightContain(seenKey(col(uriCol), col(methodCol))))
+        val definitelyNew = keyed.filter(!col("__might")).drop("__might")
+        val maybeSeen = keyed.filter(col("__might")).drop("__might")
+        definitelyNew.unionByName(anti(maybeSeen))
+    }
+  }
+
+  /** Per-executor deserialization cache for broadcast bloom bytes. */
+  object BloomHolder {
+    @transient private var cached: (Array[Byte], BloomFilter) = _
+    def get(bytes: Array[Byte]): BloomFilter = synchronized {
+      if (cached == null || !(cached._1 eq bytes)) cached = (bytes, deserialize(bytes))
+      cached._2
+    }
+  }
+}

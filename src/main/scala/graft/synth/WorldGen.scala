@@ -45,7 +45,17 @@ final case class WorldSpec(
     /** every k-th image doc has detected mime != declared (type-mishmash) */
     mishmashEvery: Int = 5,
     /** every k-th link carries a URL-variant (fragment / %-encoding / dupe) */
-    variantEvery: Int = 3)
+    variantEvery: Int = 3,
+    /** every k-th doc duplicates the spans+length of another doc (D4) */
+    dupEvery: Int = 0,
+    /** every k-th doc carries inline style spans (with in-page dups, D5) */
+    styleEvery: Int = 0,
+    /** every k-th doc carries meta description/keywords spans (A6) */
+    metaEvery: Int = 0,
+    /** every k-th doc carries script spans (noscript checker) */
+    scriptEvery: Int = 0,
+    /** every k-th doc carries a mailto span (mailer P14) */
+    mailEvery: Int = 0)
 
 object WorldGen {
 
@@ -132,23 +142,62 @@ object WorldGen {
     }
   }
 
+  /** Index of the doc whose spans doc d duplicates (itself if none). */
+  def dupSource(s: WorldSpec, d: Long): Long =
+    if (s.dupEvery > 0 && d > 0 && pmod(mix(s.seed, 20L, d), s.dupEvery) == 0)
+      pmod(mix(s.seed, 21L, d), d.toInt).toLong
+    else d
+
   /** All spans of doc d, already in offset order; the generator emits
     * them REVERSED in the stored array to exercise span reassembly
     * (input_hint per-row invariant).
     */
-  def spansOf(s: WorldSpec, d: Long): Seq[Span] = {
+  def spansOf(s: WorldSpec, d0: Long): Seq[Span] = {
+    val d = dupSource(s, d0)
     val buf = scala.collection.mutable.ArrayBuffer.empty[Span]
     buf += Span("text", textOf(s, d, 0), null, 0)
     if (s.canonicalEvery > 0 && pmod(mix(s.seed, 8L, d), s.canonicalEvery) == 0)
       buf += Span("canonical", docUrl(s, d) + "?canon=1", null, 5)
     var off = 10
-    for ((kind, href) <- linksOf(s, d)) {
-      buf += Span(kind, href, null, off)
+    for (((kind, href), j) <- linksOf(s, d).zipWithIndex) {
+      // img spans carry their width/height attribute flags in media_ref
+      // ("wh" both, "w"/"h" one, null neither) for the seoimg checker
+      val mref =
+        if (kind == "img") Vector("wh", "w", "h", null)(pmod(mix(s.seed, 34L, d, j.toLong), 4))
+        else null
+      buf += Span(kind, href, mref, off)
       off += 10
     }
     buf += Span("text", textOf(s, d, 1), null, off)
     if (pmod(mix(s.seed, 9L, d), 3) == 0)
       buf += Span("media", null, s"blob://w/${d}", off + 10)
+    var o2 = off + 20
+    if (s.styleEvery > 0 && pmod(mix(s.seed, 22L, d), s.styleEvery) == 0) {
+      // inline style attrs; every other such doc repeats one (D5 dup)
+      val v1 = s"color:#${pmod(mix(s.seed, 23L, d), 999)}"
+      val v2 = s"margin:${pmod(mix(s.seed, 24L, d), 40)}px"
+      buf += Span("style", v1, null, o2)
+      buf += Span("style", v2, null, o2 + 10)
+      if (pmod(mix(s.seed, 25L, d), 2) == 0) buf += Span("style", v1, null, o2 + 20)
+      o2 += 30
+      // internal <style> block, sometimes over the 1024-byte limit
+      val css = if (pmod(mix(s.seed, 26L, d), 3) == 0) "x" * 1100 else "body{margin:0}"
+      buf += Span("css-int", css, null, o2); o2 += 10
+    }
+    if (s.metaEvery > 0 && pmod(mix(s.seed, 27L, d), s.metaEvery) == 0) {
+      val nDesc = pmod(mix(s.seed, 28L, d), 3) // 0, 1 or 2 descriptions
+      val nKeys = pmod(mix(s.seed, 29L, d), 3)
+      for (i <- 0 until nDesc) { buf += Span("meta", "description", null, o2); o2 += 10 }
+      for (i <- 0 until nKeys) { buf += Span("meta", "keywords", null, o2); o2 += 10 }
+    }
+    if (s.scriptEvery > 0 && pmod(mix(s.seed, 30L, d), s.scriptEvery) == 0) {
+      val kinds = Vector("plain", "noscript", "comment", "noscript-comment")
+      buf += Span("script", kinds(pmod(mix(s.seed, 31L, d), 4)), null, o2); o2 += 10
+    }
+    if (s.mailEvery > 0 && pmod(mix(s.seed, 32L, d), s.mailEvery) == 0) {
+      buf += Span("mail", s"user${pmod(mix(s.seed, 33L, d), 50)}@example.test", null, o2)
+      o2 += 10
+    }
     buf.reverse.toSeq // stored order != document order, deliberately
   }
 
@@ -160,7 +209,7 @@ object WorldGen {
   def urlMapEntries(s: WorldSpec): Seq[UrlMapEntry] = {
     val docs = (0L until s.nDocs).map { d =>
       UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
-        100 + pmod(mix(s.seed, 10L, d), 5000).toLong, "text/html")
+        100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html")
     }
     val imgs = (0L until nImgs(s)).map { i =>
       val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
@@ -221,7 +270,7 @@ object WorldGen {
       .union(spark.range(nImgs(s)).map(i => imgDocOf(s, i)))
     val urlMap = spark.range(s.nDocs).map(d =>
         UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
-          100 + pmod(mix(s.seed, 10L, d), 5000).toLong, "text/html"))
+          100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html"))
       .union(spark.range(nImgs(s)).map { i =>
         val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
         UrlMapEntry(imgUrl(s, i), imgDocId(i), 200, null, "image/png",

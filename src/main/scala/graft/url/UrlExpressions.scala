@@ -13,10 +13,12 @@ import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
   * whole-stage codegen via a static call into the (JVM-wide) UrlFuncs
   * object — no closure serialization, no Row conversion.
   */
-object UrlExpressions {
-
-  /** Codegen-reachable static bridges (UTF8String in/out). */
-  object Bridge {
+/** Codegen-reachable static bridge (UTF8String in/out): a top-level
+  * object with no companion class compiles to Java static forwarders,
+  * so generated (janino) code can call `graft.url.UrlUrlBridge.defrag(x)`
+  * directly.
+  */
+object UrlBridge {
     def defrag(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.defrag(s.toString))
     def unquote2(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.unquote2(s.toString))
     def quote(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.quote(s.toString))
@@ -28,11 +30,19 @@ object UrlExpressions {
       UTF8String.fromString(UrlFuncs.urljoin(b.toString, u.toString))
     def canonLink(b: UTF8String, u: UTF8String): UTF8String =
       UTF8String.fromString(UrlFuncs.canonLink(b.toString, u.toString))
-  }
+    def pathq(s: UTF8String): UTF8String = {
+      val rest = UrlFuncs.splitUrl(s.toString)._3
+      UTF8String.fromString(if (rest.isEmpty) "/" else rest)
+    }
+  def isValid(s: UTF8String): Boolean = UrlFuncs.isValidIri(s.toString)
+}
 
-  private val B = "graft.url.UrlExpressions.Bridge"
+object UrlExpressions {
 
-  abstract class UrlUnary(fn: String) extends UnaryExpression {
+  private val B = "graft.url.UrlBridge"
+
+  trait UrlUnary extends UnaryExpression {
+    protected def fn: String
     override def dataType: DataType = StringType
     final override protected def nullSafeEval(v: Any): Any = evalStr(v.asInstanceOf[UTF8String])
     protected def evalStr(s: UTF8String): UTF8String
@@ -40,32 +50,56 @@ object UrlExpressions {
       defineCodeGen(ctx, ev, c => s"$B.$fn($c)")
   }
 
-  case class UrlDefrag(child: Expression) extends UrlUnary("defrag") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.defrag(s)
+  case class UrlDefrag(child: Expression) extends UrlUnary {
+    protected def fn = "defrag"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.defrag(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
-  case class UrlUnquote2(child: Expression) extends UrlUnary("unquote2") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.unquote2(s)
+  case class UrlUnquote2(child: Expression) extends UrlUnary {
+    protected def fn = "unquote2"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.unquote2(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
-  case class UrlQuote(child: Expression) extends UrlUnary("quote") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.quote(s)
+  case class UrlQuote(child: Expression) extends UrlUnary {
+    protected def fn = "quote"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.quote(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
-  case class UrlHost(child: Expression) extends UrlUnary("host") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.host(s)
+  case class UrlHost(child: Expression) extends UrlUnary {
+    protected def fn = "host"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.host(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
-  case class UrlScheme(child: Expression) extends UrlUnary("scheme") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.scheme(s)
+  case class UrlScheme(child: Expression) extends UrlUnary {
+    protected def fn = "scheme"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.scheme(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
-  case class UrlNormalizeExpr(child: Expression) extends UrlUnary("normalize") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.normalize(s)
+  case class UrlNormalizeExpr(child: Expression) extends UrlUnary {
+    protected def fn = "normalize"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.normalize(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
-  case class UrlCanonSeed(child: Expression) extends UrlUnary("canonSeed") {
-    protected def evalStr(s: UTF8String): UTF8String = Bridge.canonSeed(s)
+  case class UrlCanonSeed(child: Expression) extends UrlUnary {
+    protected def fn = "canonSeed"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.canonSeed(s)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** Path+query of a URL ("/" when empty) — the robots match target. */
+  case class UrlPathQ(child: Expression) extends UrlUnary {
+    protected def fn = "pathq"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.pathq(s)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** RFC-3987-ish validity gate (core.py:103-110), boolean-typed. */
+  case class UrlIsValid(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override protected def nullSafeEval(v: Any): Any =
+      UrlFuncs.isValidIri(v.asInstanceOf[UTF8String].toString)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$B.isValid($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
@@ -73,7 +107,7 @@ object UrlExpressions {
   case class UrlJoin(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = StringType
     override protected def nullSafeEval(b: Any, u: Any): Any =
-      Bridge.urljoin(b.asInstanceOf[UTF8String], u.asInstanceOf[UTF8String])
+      UrlBridge.urljoin(b.asInstanceOf[UTF8String], u.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (b, u) => s"$B.urljoin($b, $u)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -86,7 +120,7 @@ object UrlExpressions {
   case class UrlCanonLink(left: Expression, right: Expression) extends BinaryExpression {
     override def dataType: DataType = StringType
     override protected def nullSafeEval(b: Any, u: Any): Any =
-      Bridge.canonLink(b.asInstanceOf[UTF8String], u.asInstanceOf[UTF8String])
+      UrlBridge.canonLink(b.asInstanceOf[UTF8String], u.asInstanceOf[UTF8String])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       defineCodeGen(ctx, ev, (b, u) => s"$B.canonLink($b, $u)")
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
@@ -101,6 +135,8 @@ object UrlExpressions {
   def url_scheme(c: Column): Column = toColumn(UrlScheme(toExpression(c)))
   def url_normalize(c: Column): Column = toColumn(UrlNormalizeExpr(toExpression(c)))
   def url_canon_seed(c: Column): Column = toColumn(UrlCanonSeed(toExpression(c)))
+  def url_pathq(c: Column): Column = toColumn(UrlPathQ(toExpression(c)))
+  def url_is_valid(c: Column): Column = toColumn(UrlIsValid(toExpression(c)))
   def url_join(base: Column, href: Column): Column =
     toColumn(UrlJoin(toExpression(base), toExpression(href)))
   def url_canon_link(base: Column, href: Column): Column =

@@ -1,0 +1,165 @@
+package graft.frontier
+
+import graft.model._
+import graft.oracle.RefCrawlOracle
+import graft.synth.{WorldGen, WorldSpec}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** THE correctness gate of the engine (SURVEY.md §5): the distributed
+  * BSP crawl must match the serial reference-semantics oracle
+  * bit-for-bit — crawl ordering, URL-seen set, transactions, link graph
+  * (with processed flags), defects, aliases, and politeness host state.
+  */
+class EngineParitySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def cfg(spec: WorldSpec): CrawlConfig =
+    CrawlConfig(seeds = WorldGen.seeds(spec),
+      acceptedTypes = Seq("text/html", "image/png"))
+
+  private def world(spec: WorldSpec): CrawlRound.WorldDF = {
+    val w = WorldGen.sparkWorld(spark, spec)
+    CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF())
+  }
+
+  private def runBoth(spec: WorldSpec, c: CrawlConfig, useBloom: Boolean = true)
+      : (RefCrawlOracle.CrawlOutput, CrawlDriver.CrawlRun) = {
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val dir = Files.createTempDirectory(s"crawl-${spec.name}").toString
+    val run = CrawlDriver.crawl(spark, world(spec), c, dir, useBloom)
+    (oracle, run)
+  }
+
+  private def assertParity(o: RefCrawlOracle.CrawlOutput, r: CrawlDriver.CrawlRun): Unit = {
+    // crawl order: exact sequence
+    val gotOrder = r.crawlOrder.collect().map(x => (x.getLong(0), x.getLong(1), x.getString(2)))
+      .sortBy(_._1).toVector
+    val expOrder = o.crawlOrder.sortBy(_._1)
+    assert(gotOrder == expOrder, "crawl order mismatch")
+
+    // URL-seen set with first-seen seqs
+    val gotSeen = r.seen.collect().map(x => ((x.getString(0), x.getString(1)), x.getLong(2))).toMap
+    assert(gotSeen == o.seen, "URL-seen mismatch")
+
+    // transactions (final rows)
+    val gotTx = r.transactions.collect().map { x =>
+      x.getLong(0) -> TransactionRow(x.getLong(0), x.getString(1), x.getString(2),
+        Option(x.get(3)).map(_.asInstanceOf[Int]), Option(x.getString(4)),
+        x.getString(5), x.getInt(6), Option(x.getString(7)))
+    }.toMap
+    assert(gotTx.keySet == o.transactions.keySet, "transactions seq set mismatch")
+    for ((seq, exp) <- o.transactions) {
+      assert(gotTx(seq) == exp, s"transaction $seq: got ${gotTx(seq)}, expected $exp")
+    }
+
+    // link graph with processed flags (multiset)
+    val gotLinks = r.linksWithProcessed.collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getBoolean(3)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    val expLinks = o.links.map(l => (l.fromSeq, l.toUri, l.toSeq, l.processed))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(gotLinks == expLinks, "link graph mismatch")
+
+    // defects in deterministic order (ties within a phase broken by the
+    // full tuple — e.g. repeated inline-CSS defects on one page)
+    def defectKey(t: (Long, Int, Long, String, Option[String], Double)) =
+      (t._1, t._2, t._4, t._5.getOrElse(""), t._3)
+    val gotDefects = r.defects.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getString(3),
+        Option(x.getString(4)), x.getDouble(5)))
+      .sortBy(defectKey).toVector
+    val expDefects = o.defects
+      .map(d => (d.popPos, d.phase, d.defect.responseSeq, d.defect.typeName,
+        Option(d.defect.evidence), d.defect.severity))
+      .sortBy(defectKey).toVector
+    assert(gotDefects == expDefects, "defects mismatch")
+
+    // aliases (multiset)
+    val gotAliases = r.aliases.collect().map(x => (x.getLong(0), x.getString(1))).sorted.toVector
+    val expAliases = o.aliases.map(a => (a.seq, a.uri)).sorted.toVector
+    assert(gotAliases == expAliases, "aliases mismatch")
+
+    // politeness host state
+    val gotHost = r.hostState.collect().map(x => (x.getString(0), x.getDouble(1))).toMap
+    assert(gotHost == o.hostState, "host state mismatch")
+  }
+
+  private def check(spec: WorldSpec, mutate: CrawlConfig => CrawlConfig = identity): Unit = {
+    val c = mutate(cfg(spec))
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+  }
+
+  test("parity: tiny-chain (single host, BFS order, termination)") {
+    check(WorldSpec("tiny-chain", nHosts = 1, nDocs = 8, hotPct = 100))
+  }
+
+  test("parity: two-host-bfs (FIFO order, depth+1, link edges)") {
+    check(WorldSpec("two-host-bfs", nHosts = 2, nDocs = 30, hotPct = 50))
+  }
+
+  test("parity: dedup-web (canonicalization chain + URL-seen)") {
+    check(WorldSpec("dedup-web", nHosts = 3, nDocs = 25, variantEvery = 2))
+  }
+
+  test("parity: redirect-canon (alias mechanics, mid-flight rewrites)") {
+    check(WorldSpec("redirect-canon", nHosts = 2, nDocs = 30,
+      redirectEvery = 3, canonicalEvery = 5))
+  }
+
+  test("parity: polite-slow (crawl delays, reschedule-to-back)") {
+    check(WorldSpec("polite-slow", nHosts = 4, nDocs = 40,
+      politeEvery = 2, politeDelayS = 2.0, slowEvery = 4, slowDelayS = 12.0))
+  }
+
+  test("parity: robots-maze (disallow prefixes)") {
+    check(WorldSpec("robots-maze", nHosts = 3, nDocs = 30, privateEvery = 4))
+  }
+
+  test("parity: depth-capped (maxDepth routing)") {
+    check(WorldSpec("two-host-bfs", nHosts = 2, nDocs = 30), _.copy(maxDepth = 2))
+  }
+
+  test("parity: defect-zoo (badlink/mistyped/mishmash/badtype defects)") {
+    check(WorldSpec("defect-zoo", nHosts = 3, nDocs = 40, imgEvery = 3,
+      mishmashEvery = 2))
+  }
+
+  test("parity: checker-zoo (dupdetect/css/meta/script/img/mail checkers)") {
+    check(WorldSpec("checker-zoo", nHosts = 3, nDocs = 40, dupEvery = 4,
+      styleEvery = 3, metaEvery = 2, scriptEvery = 3, mailEvery = 4, imgEvery = 3))
+  }
+
+  test("parity: urlLimit cap") {
+    check(WorldSpec("two-host-bfs", nHosts = 2, nDocs = 30), _.copy(urlLimit = Some(12)))
+  }
+
+  test("parity: skew-zipf (hot host, salted partitions)") {
+    check(WorldSpec("skew-zipf", nHosts = 8, nDocs = 120, hotPct = 40))
+  }
+
+  test("parity holds without the bloom prefilter (exact band alone)") {
+    val spec = WorldSpec("dedup-web", nHosts = 3, nDocs = 25, variantEvery = 2)
+    val (o, r) = runBoth(spec, cfg(spec), useBloom = false)
+    assertParity(o, r)
+  }
+
+  test("resume: killing after round k and resuming yields identical outputs") {
+    val spec = WorldSpec("resume-kill", nHosts = 2, nDocs = 30)
+    val c = cfg(spec)
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val dir = Files.createTempDirectory("crawl-resume").toString
+    // run only 2 rounds, then resume to completion in a fresh driver call
+    CrawlDriver.crawl(spark, world(spec), c.copy(maxRounds = 2), dir)
+    val resumed = CrawlDriver.crawl(spark, world(spec), c, dir)
+    assertParity(oracle, resumed)
+  }
+}

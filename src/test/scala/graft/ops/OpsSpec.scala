@@ -1,0 +1,153 @@
+package graft.ops
+
+import graft.plans.Ranks
+import graft.seen.UrlSeen
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for the training-data operators: planted near-duplicates must
+  * be found, exact measures must be exact, sketches deterministic.
+  */
+class OpsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home tonight"
+
+  test("minhash LSH finds planted near-duplicates and skips distinct docs") {
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"), // near-dup of 0
+      (2L, base.replace("quick", "slow")), // near-dup of 0
+      (3L, "completely different content about spark catalyst optimizer internals and shuffles"),
+      (4L, base) // exact dup of 0
+    ).toDF("doc_id", "text")
+    val pairs = DedupOps.minhashNearDups(docs, "text", "doc_id",
+        shingleN = 3, k = 24, bands = 8, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 4L)), s"exact dup must be found: $pairs")
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 2L)), s"near dup expected: $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"distinct doc must not pair: $pairs")
+  }
+
+  test("simhash: identical docs have distance 0; near-dups within 6; distinct far") {
+    val df = Seq((0L, base), (1L, base), (2L, base + " tail"),
+      (3L, "unrelated words entirely here about graphs")).toDF("id", "text")
+    val sk = df.select(col("id"), DedupOps.simhash64(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sk(0L) == sk(1L))
+    assert(java.lang.Long.bitCount(sk(0L) ^ sk(2L)) <= 6)
+    assert(java.lang.Long.bitCount(sk(0L) ^ sk(3L)) > 6)
+  }
+
+  test("jaccard is exact") {
+    val j = spark.range(1).select(
+      DedupOps.jaccard(typedLit(Seq("a", "b", "c")), typedLit(Seq("b", "c", "d"))).as("j"))
+      .head().getDouble(0)
+    assert(math.abs(j - 0.5) < 1e-9)
+  }
+
+  test("exact dedup keeps one row per distinct text") {
+    val docs = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "text")
+    val out = DedupOps.exactDedup(docs, "text", "doc_id").collect()
+    assert(out.map(_.getLong(0)).toSet == Set(1L, 3L))
+  }
+
+  test("cosine: orthogonal=0, parallel=1; brute top-k ranks by similarity") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)),
+      (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)),
+      (4L, Seq(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = SimilarityOps.bruteTopK(vecs, "embedding", "vec_id",
+      Seq(1.0f, 0.0f, 0.0f), 2).collect().map(_.getLong(0))
+    assert(top.toSet == Set(1L, 4L))
+  }
+
+  test("LSH top-k recalls the exact best match") {
+    val n = 200
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(concat(col("id"), lit(":"), i)), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val q = vecs.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val brute = SimilarityOps.bruteTopK(vecs, "embedding", "vec_id", q, 1)
+      .head().getLong(0)
+    val lsh = SimilarityOps.lshTopK(vecs, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0))
+    assert(brute == 7L) // self is its own nearest
+    assert(lsh.contains(7L), s"LSH candidates must recall the identical vector: ${lsh.mkString(",")}")
+  }
+
+  test("langId classifies obvious samples and falls back to und") {
+    val df = Seq(
+      ("the cat and the dog went to the house and it was good", "en"),
+      ("der hund und die katze sind nicht mit dem mann", "de"),
+      ("le chat et le chien sont dans la maison pour une nuit", "fr"),
+      ("zzz qqq xxx www", "und")).toDF("text", "expected")
+    val got = df.select(TextOps.langId(col("text")).as("pred"), col("expected")).collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("quality score penalizes junk, rewards prose") {
+    val df = Seq(
+      ("p", "The quick brown fox jumps over the lazy dog and it was good for the animals in the farm."),
+      ("j", "@@@ ### !!! 123 456 789 ... ;; :: ~~~ %%%")).toDF("id", "text")
+    val m = df.select(col("id"), TextOps.qualityColumns(col("text"))
+        .find(_._1 == "quality_score").get._2.as("q"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(m("p") > m("j"))
+  }
+
+  test("fingerprint64 ignores case/punctuation noise") {
+    val df = Seq(("a", "Hello, World!"), ("b", "hello world"), ("c", "other text"))
+      .toDF("id", "text")
+    val m = df.select(col("id"), TextOps.fingerprint64(col("text")).as("f"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("a") == m("b"))
+    assert(m("a") != m("c"))
+  }
+
+  test("multimodal: format sniffing + deterministic stub decode") {
+    val png = Array[Byte](0x89.toByte, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a, 1, 2)
+    val jpg = Array[Byte](0xff.toByte, 0xd8.toByte, 0xff.toByte, 0xe0.toByte, 1, 2, 3, 4)
+    val df = Seq((1L, png), (2L, jpg)).toDF("id", "payload")
+    val fmts = df.select(col("id"), MultimodalOps.detectFormat(col("payload")).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fmts == Map(1L -> "png", 2L -> "jpeg"))
+    val rows = MultimodalOps.decodeAndEmbed(df, "id", "payload", embeddingDim = 8).collect()
+    assert(rows.length == 2)
+    assert(rows.forall(_.embedding.length == 8))
+    val again = MultimodalOps.decodeAndEmbed(df, "id", "payload", embeddingDim = 8).collect()
+    assert(rows.map(_.embedding.toSeq).toSeq == again.map(_.embedding.toSeq).toSeq)
+  }
+
+  test("global rank is dense, 0-based, deterministic on unique keys") {
+    val df = spark.range(1000).select((col("id") * 7 % 1000).as("k"))
+    val ranked = Ranks.withGlobalRank(df, Seq(col("k")), "r")
+    val rows = ranked.orderBy(col("r")).collect()
+    assert(rows.map(_.getLong(1)).toSeq == (0L until 1000L))
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("bloom has no false negatives; dedupe matches exact anti-join") {
+    val seen = spark.range(500).select(concat(lit("http://h/"), col("id")).as("uri"),
+      lit("GET").as("method"))
+    val cand = spark.range(250, 750).select(concat(lit("http://h/"), col("id")).as("uri"),
+      lit("GET").as("method"))
+    val bloom = UrlSeen.buildBloom(seen,
+      UrlSeen.seenKey(col("uri"), col("method")), 500)
+    val withBloom = UrlSeen.dedupeAgainstSeen(cand, seen, "uri", "method", Some(bloom))
+      .collect().map(_.getString(0)).toSet
+    val exact = UrlSeen.dedupeAgainstSeen(cand, seen, "uri", "method", None)
+      .collect().map(_.getString(0)).toSet
+    assert(withBloom == exact)
+    assert(exact == (500 until 750).map(i => s"http://h/$i").toSet)
+  }
+}
