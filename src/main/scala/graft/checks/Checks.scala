@@ -41,75 +41,83 @@ object Checks {
   private def ofKind(spansSorted: Column, k: String): Column =
     filter(spansSorted, s => s.getField("kind") === k)
 
-  /** Per-page checker defects for OK text/html rows. Input columns:
-    * pos, seq, spansSorted. Output: popPos, phase, responseSeq,
-    * typeName, evidence, severity.
+  /** Per-page checker defects for OK text/html rows as ONE projection:
+    * every checker contributes an array<struct(phase,typeName,evidence,
+    * severity)> built with higher-order expressions (no windows, no
+    * per-checker branches), concatenated and exploded once — a single
+    * scan of the cached page rows instead of a 12-way union.
+    * Input columns: pos, seq, spansSorted. Output: popPos, phase,
+    * responseSeq, typeName, evidence, severity.
     */
-  def pageDefects(okHtml: DataFrame): Seq[DataFrame] = {
+  def pageDefects(okHtml: DataFrame): DataFrame =
+    okHtml.select(col("pos"), col("seq"), explode(col("defArr")).as("d"))
+      .select(col("pos").as("popPos"), col("d.phase").as("phase"),
+        col("seq").as("responseSeq"), col("d.typeName").as("typeName"),
+        col("d.evidence").as("evidence"), col("d.severity").as("severity"))
+
+  /** The per-page checker defect array (struct(phase,typeName,evidence,
+    * severity)) as one expression over a sorted spans column — computed
+    * once into the round's cached page rows, then exploded by
+    * [[pageDefects]] (the heavy expression evaluates exactly once per
+    * page, inside the cache materialization).
+    */
+  def pageDefectsArr(sp: Column): Column = {
     import org.apache.spark.sql.types.StringType
-    val sp = col("spansSorted")
-    def out(df: DataFrame, phase: Int, name: String, evidence: Column, sev: Double): DataFrame =
-      df.select(col("pos").as("popPos"), lit(phase).as("phase"), col("seq").as("responseSeq"),
-        lit(name).as("typeName"), evidence.cast(StringType).as("evidence"),
-        lit(sev).as("severity"))
+
+    def mk(phase: Int, name: String, evidence: Column, sev: Double): Column =
+      struct(lit(phase).as("phase"), lit(name).as("typeName"),
+        evidence.cast(StringType).as("evidence"), lit(sev).as("severity"))
+    /** singleton defect gated by a condition (type-stable empty via filter) */
+    def one(cond: Column, phase: Int, name: String, evidence: Column, sev: Double): Column =
+      filter(array(mk(phase, name, evidence, sev)), _ => cond)
 
     // css_scraper internal <style> (css_scraper.py:52-60): first block
-    val cssInt = try_element_at(ofKind(sp, "css-int"), lit(1))
-    val huge = out(
-      okHtml.withColumn("cssLen", octet_length(cssInt.getField("text")))
-        .filter(col("cssLen").isNotNull && col("cssLen") > 1024),
-      5, "seo:huge_internal", col("cssLen"), 0.5)
+    val cssLen = octet_length(try_element_at(ofKind(sp, "css-int"), lit(1)).getField("text"))
+    val huge = one(cssLen.isNotNull && cssLen > 1024, 5, "seo:huge_internal", cssLen, 0.5)
 
-    // css_scraper inline dups (css_scraper.py:62-68): every repeat of a
-    // style value after its first in-page occurrence
-    val styleRows = okHtml.select(col("pos"), col("seq"),
-      posexplode(ofKind(sp, "style")).as(Seq("sIdx", "span")))
-      .withColumn("v", col("span").getField("text"))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("seq"), col("v")).orderBy(col("sIdx"))))
-      .filter(col("rn") >= 2)
-    val inlineDup = out(styleRows, 6, "seo:duplicit_inline", col("v"), 0.1)
+    // css_scraper inline dups (css_scraper.py:62-68): each repeat of a
+    // style value after its first in-page occurrence (prefix scan)
+    val styleTexts = transform(ofKind(sp, "style"), s => s.getField("text"))
+    val dupVals = when(size(styleTexts) < 2, filter(styleTexts, _ => lit(false)))
+      .otherwise(filter(
+        transform(sequence(lit(2), greatest(size(styleTexts), lit(2))), i =>
+          when(array_position(slice(styleTexts, lit(1), i - 1), element_at(styleTexts, i)) > 0,
+            element_at(styleTexts, i))),
+        x => x.isNotNull))
+    val inlineDup = transform(dupVals, v => mk(6, "seo:duplicit_inline", v, 0.1))
 
-    // seo_meta (seo_meta.py:24-49): counts of description / keywords
+    // seo_meta (seo_meta.py:24-49)
     def metaCount(name: String): Column =
       size(filter(ofKind(sp, "meta"), s => s.getField("text") === name))
-    val withCounts = okHtml.withColumn("nDesc", metaCount("description"))
-      .withColumn("nKeys", metaCount("keywords"))
-    val nodsc = out(withCounts.filter(col("nDesc") === 0), 7, "seo:nodsc", lit(""), 0.4)
-    val multidsc = out(withCounts.filter(col("nDesc") > 1), 7, "seo:multidsc", col("nDesc"), 0.4)
-    val nokeys = out(withCounts.filter(col("nKeys") === 0), 8, "seo:nokeys", lit(""), 0.4)
-    val multikeys = out(withCounts.filter(col("nKeys") > 1), 8, "seo:multikeys", col("nKeys"), 0.4)
+    val nDesc = metaCount("description")
+    val nKeys = metaCount("keywords")
+    val meta = concat(
+      one(nDesc === 0, 7, "seo:nodsc", lit(""), 0.4),
+      one(nDesc > 1, 7, "seo:multidsc", nDesc, 0.4),
+      one(nKeys === 0, 8, "seo:nokeys", lit(""), 0.4),
+      one(nKeys > 1, 8, "seo:multikeys", nKeys, 0.4))
 
-    // no_script (no_script.py:17-30): per script span, two conditions
-    val scriptRows = okHtml.select(col("pos"), col("seq"),
-      explode(ofKind(sp, "script")).as("span"))
-      .withColumn("v", col("span").getField("text"))
-    val noscriptMiss = out(scriptRows.filter(!col("v").contains("noscript")),
-      9, "noscript-miss", concat(lit("Script: "), col("v")), 0.7)
-    val noComment = out(scriptRows.filter(!col("v").contains("comment")),
-      9, "script-no-comment", concat(lit("Script: "), col("v")), 0.4)
+    // no_script (no_script.py:17-30)
+    def scriptDefects(cond: Column => Column, name: String, sev: Double): Column =
+      transform(filter(ofKind(sp, "script"), s => cond(s.getField("text"))),
+        s => mk(9, name, concat(lit("Script: "), s.getField("text")), sev))
+    val scripts = concat(
+      scriptDefects(v => !v.contains("noscript"), "noscript-miss", 0.7),
+      scriptDefects(v => !v.contains("comment"), "script-no-comment", 0.4))
 
-    // seo_images (seo_images.py:22-37): img spans; media_ref carries the
-    // width/height attribute flags in the span model
-    val imgRows = okHtml.select(col("pos"), col("seq"),
-      explode(ofKind(sp, "img")).as("span"))
-      .withColumn("src", col("span").getField("text"))
-      .withColumn("flags", coalesce(col("span").getField("media_ref"), lit("")))
-    val noWidth = out(imgRows.filter(!col("flags").contains("w")),
-      10, "seo:img:nowidth", col("src"), 0.6)
-    val noHeight = out(imgRows.filter(!col("flags").contains("h")),
-      10, "seo:img:noheight", col("src"), 0.6)
+    // seo_images (seo_images.py:22-37): flags ride in media_ref
+    def imgDefects(flag: String, name: String): Column =
+      transform(filter(ofKind(sp, "img"),
+          s => !coalesce(s.getField("media_ref"), lit("")).contains(flag)),
+        s => mk(10, name, s.getField("text"), 0.6))
+    val imgs = concat(imgDefects("w", "seo:img:nowidth"), imgDefects("h", "seo:img:noheight"))
 
     // mailer (mailer.py:27-50), default config: mailto links only
-    val mailRows = okHtml.select(col("pos"), col("seq"),
-      explode(ofKind(sp, "mail")).as("span"))
-      .withColumn("addr", col("span").getField("text"))
-    val mail = out(mailRows, 11, "mail",
-      concat(lit("Link: "), col("addr"),
-        lit(", valid: True (checked SMTP server: False, verified existence: False)")), 0.8)
+    val mails = transform(ofKind(sp, "mail"), s => mk(11, "mail",
+      concat(lit("Link: "), s.getField("text"),
+        lit(", valid: True (checked SMTP server: False, verified existence: False)")), 0.8))
 
-    Seq(huge, inlineDup, nodsc, multidsc, nokeys, multikeys,
-      noscriptMiss, noComment, noWidth, noHeight, mail)
+    concat(huge, inlineDup, meta, scripts, imgs, mails)
   }
 
   /** Mail defect description twin for the oracle. */

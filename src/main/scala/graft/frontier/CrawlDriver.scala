@@ -17,15 +17,31 @@ object CrawlDriver {
   case class CrawlRun(store: SnapshotStore, lastRound: Int, spark: SparkSession) {
     private def union(name: String): DataFrame =
       store.readTableUnion(lastRound, name).get
-    def crawlOrder: DataFrame = union("crawl_order")
+    /** accepted-URL delta (seq, method, canon, decoded, depth, expected,
+      * round) — the seen set, aliases and REQUESTED rows project off it.
+      */
+    def accepted: DataFrame = union("accepted")
+    /** crawl order ≡ the popped frontiers: round k pops frontier(k−1),
+      * and popPos ≡ pos (§3.2) — no separate table needed.
+      */
+    def crawlOrder: DataFrame =
+      store.readTableUnion(lastRound - 1, "frontier").get
+        .select(col("pos").as("popPos"), col("seq"), col("uri"))
     def links: DataFrame = union("links")
     def defects: DataFrame = union("defects")
-    def aliases: DataFrame = union("aliases")
-    def seen: DataFrame = union("seen_delta")
+    def aliases: DataFrame = accepted.select(col("seq"), col("decoded").as("uri"))
+    def seen: DataFrame =
+      accepted.select(col("canon").as("uri"), col("method"), col("seq"))
     def hostState: DataFrame = store.readTable(lastRound, "host_state")
     /** transactions: latest row per seq wins (REQUESTED → DONE-*). */
     def transactions: DataFrame = {
-      val all = union("transactions")
+      val requested = accepted.select(col("seq"), col("method"),
+        col("canon").as("uri"),
+        lit(null).cast("int").as("responseStatus"),
+        lit(null).cast("string").as("contentType"),
+        lit(VerificationStatus.Requested).as("verificationStatus"),
+        col("depth"), col("expected"), col("round"))
+      val all = union("transactions").unionByName(requested)
       all.withColumn("rn", row_number().over(
           Window.partitionBy(col("seq")).orderBy(col("round").desc)))
         .filter(col("rn") === 1).drop("rn", "round")
@@ -69,26 +85,10 @@ object CrawlDriver {
         (i.seq, i.pos, i.uri, i.uri, i.depth, i.srcSeq, i.method, i.expected.orNull))
       .toDF("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected")
     store.writeTable(-1, "frontier", frontier)
-    store.writeTable(-1, "seen_delta",
-      seen.toSeq.map { case (u, q) => SeenRow(u, "GET", q) }.toDF()
-        .select(col("uri"), col("method"), col("seq")))
-    store.writeTable(-1, "transactions", items.toSeq.map(i =>
-        (i.seq, i.method, i.uri, null.asInstanceOf[Integer], null.asInstanceOf[String],
-          VerificationStatus.Requested, i.depth, i.expected.orNull, -1))
-      .toDF("seq", "method", "uri", "responseStatus", "contentType",
-        "verificationStatus", "depth", "expected", "round"))
-    store.writeTable(-1, "aliases", aliases.toSeq.toDF())
-    store.writeTable(-1, "host_state",
-      spark.emptyDataset[HostState].toDF())
-    // empty deltas so unions are uniform
-    store.writeTable(-1, "links", spark.emptyDataset[(Long, String, Long, Long)]
-      .toDF("fromSeq", "toUri", "toSeq", "createdAtPop"))
-    store.writeTable(-1, "defects", spark.emptyDataset[(Long, Int, Long, String, String, Double)]
-      .toDF("popPos", "phase", "responseSeq", "typeName", "evidence", "severity"))
-    store.writeTable(-1, "crawl_order", spark.emptyDataset[(Long, Long, String)]
-      .toDF("popPos", "seq", "uri"))
-    store.writeTable(-1, "dup_state", spark.emptyDataset[(Long, Long, Long, String)]
-      .toDF("size", "bhash", "pop", "uri"))
+    store.writeTable(-1, "accepted", items.toSeq.zip(aliases).map { case (i, a) =>
+        (i.seq, i.method, i.uri, a.uri, i.depth, i.expected.orNull, -1)
+      }.toDF("seq", "method", "canon", "decoded", "depth", "expected", "round"))
+    store.writeTable(-1, "host_state", spark.emptyDataset[HostState].toDF())
     store.commit(-1, store.Counters(-1, nextSeq, nextPos, 0L, seen.size.toLong,
       items.size.toLong), Seq(("seeds", 0, items.size.toLong)))
   }
@@ -96,23 +96,32 @@ object CrawlDriver {
   /** Run (or resume) a crawl; returns a handle over the snapshot dirs. */
   def crawl(spark: SparkSession, world0: CrawlRound.WorldDF, cfg: CrawlConfig,
       checkpointDir: String, useBloom: Boolean = true,
-      bloomMinSeen: Long = 0L): CrawlRun = {
+      bloomMinSeen: Long = 100000L): CrawlRun = {
     val store = new SnapshotStore(checkpointDir, spark)
     if (store.latestCommitted().isEmpty) bootstrap(spark, cfg, store)
-    // world tables are scanned by several joins per round: cache once
+    // round-invariant world prep (redirect-resolved fetch map, robots
+    // aggregation), cached once and shared by every round
     import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val world = CrawlRound.WorldDF(world0.docs.persist(MEMORY_AND_DISK),
-      world0.urlMap.persist(MEMORY_AND_DISK), world0.hosts.persist(MEMORY_AND_DISK),
-      world0.rules.persist(MEMORY_AND_DISK))
+    val prepped0 = CrawlRound.prepare(world0)
+    val world = CrawlRound.PreparedWorld(
+      prepped0.docs.persist(MEMORY_AND_DISK),
+      prepped0.fetchMap.persist(MEMORY_AND_DISK),
+      prepped0.hosts.persist(MEMORY_AND_DISK),
+      prepped0.rulesAgg.persist(MEMORY_AND_DISK))
 
     var last = store.latestCommitted().get
     var c = store.readCounters(last)
     while (c.frontierCount > 0 && (cfg.maxRounds <= 0 || c.round + 1 < cfg.maxRounds)) {
       val round = c.round + 1
       val frontier = store.readTable(last, "frontier")
-      val seen = store.readTableUnion(last, "seen_delta").get
+      val seen = store.readTableUnion(last, "accepted").get
+        .select(col("canon").as("uri"), col("method"), col("seq"))
       val hostState = store.readTable(last, "host_state")
-      val dupState = store.readTableUnion(last, "dup_state").get
+      val dupState = store.readTableUnion(last, "dup_state").getOrElse {
+        import spark.implicits._
+        spark.emptyDataset[(Long, Long, Long, String)]
+          .toDF("size", "bhash", "pop", "uri")
+      }
       val bloom =
         if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L))
           Some(UrlSeen.buildBloom(seen, UrlSeen.seenKey(col("uri"), col("method")),
@@ -120,18 +129,25 @@ object CrawlDriver {
         else None
       val out = CrawlRound.run(spark, world, cfg,
         CrawlRound.RoundIn(round, frontier, seen, hostState, dupState,
-          c.nextSeq, c.nextPos, c.seenCount, bloom))
+          c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount, bloom))
 
-      store.writeTable(round, "frontier", out.frontierOut)
-      store.writeTable(round, "seen_delta", out.seenDelta)
-      store.writeTable(round, "transactions", out.txDelta)
-      store.writeTable(round, "links", out.links)
-      store.writeTable(round, "defects", out.defects)
-      store.writeTable(round, "aliases", out.aliases)
-      store.writeTable(round, "crawl_order", out.crawlOrder)
-      store.writeTable(round, "host_state", out.hostStateOut)
-      store.writeTable(round, "dup_state", out.dupStateDelta)
-      store.writeTable(round, "lineage", out.lineage)
+      val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+      def timedWrite(name: String, df: DataFrame): Unit = {
+        val t = System.nanoTime()
+        store.writeTable(round, name, df)
+        if (trace) println(f"[w $round $name] ${(System.nanoTime() - t) / 1e9}%.1fs")
+      }
+      val tW0 = System.nanoTime()
+      timedWrite("frontier", out.frontierOut)
+      val tW1 = System.nanoTime()
+      timedWrite("accepted", out.accepted)
+      timedWrite("transactions", out.txDelta)
+      timedWrite("links", out.links)
+      timedWrite("defects", out.defects)
+      timedWrite("host_state", out.hostStateOut)
+      timedWrite("dup_state", out.dupStateDelta)
+      timedWrite("lineage", out.lineage)
+      val tW2 = System.nanoTime()
       val lineageRows = store.readTable(round, "lineage").collect()
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
       out.cached.foreach(_.unpersist(blocking = false))
@@ -151,6 +167,10 @@ object CrawlDriver {
         seenCount = c.seenCount + acceptedCount,
         frontierCount = frontierCount)
       store.commit(round, c, lineageRows)
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        println(f"[round $round] frontierIn=$popped fetched=${metric("fetched")} " +
+          f"frontierWrite=${(tW1 - tW0) / 1e9}%.1fs otherWrites=${(tW2 - tW1) / 1e9}%.1fs " +
+          f"lineage+rest=${(System.nanoTime() - tW2) / 1e9}%.1fs")
       last = round
     }
     CrawlRun(store, last, spark)

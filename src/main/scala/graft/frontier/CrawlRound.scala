@@ -33,6 +33,35 @@ object CrawlRound {
   case class WorldDF(docs: DataFrame, urlMap: DataFrame, hosts: DataFrame,
       rules: DataFrame)
 
+  /** Round-invariant world prep, computed once per crawl: redirects
+    * pre-resolved into the fetch table (single join per round instead of
+    * two) and robots rules pre-grouped per host.
+    */
+  case class PreparedWorld(docs: DataFrame, fetchMap: DataFrame, hosts: DataFrame,
+      rulesAgg: DataFrame)
+
+  def prepare(w: WorldDF): PreparedWorld = {
+    val um = w.urlMap
+    val umT = um.select(col("url").as("t_url"), col("doc_id").as("t_doc_id"),
+      col("status").as("t_status"), col("content_type").as("t_ct"),
+      col("content_length").as("t_len"), col("detected_mime").as("t_mime"))
+    val fetchMap = um.join(umT, um("redirect_to") === col("t_url"), "left")
+      .withColumn("redirected", col("redirect_to").isNotNull)
+      .select(col("url"),
+        when(col("redirected"), coalesce(col("t_status"), lit(404)))
+          .otherwise(col("status")).as("finStatus"),
+        coalesce(when(col("redirected"), col("t_ct")).otherwise(col("content_type")), lit(""))
+          .as("finCtRaw"),
+        when(col("redirected"), col("t_doc_id")).otherwise(col("doc_id")).as("finDocId"),
+        when(col("redirected"), col("t_len")).otherwise(col("content_length")).as("finLen"),
+        when(col("redirected"), col("t_mime")).otherwise(col("detected_mime")).as("finMime"),
+        when(col("redirected"), col("redirect_to")).otherwise(lit(null)).as("redirTarget"))
+    val rulesAgg = w.rules.where(col("agent") === "*")
+      .groupBy("host").agg(collect_list(struct(col("rule"), col("path_pref"))).as("rrules"))
+    PreparedWorld(w.docs, fetchMap,
+      w.hosts.select(col("host"), col("crawl_delay_s").as("d")), rulesAgg)
+  }
+
   case class RoundIn(
       round: Int,
       frontier: DataFrame, // seq,pos,uri,origUri,depth,srcSeq,method,expected
@@ -40,16 +69,18 @@ object CrawlRound {
       hostState: DataFrame, // host, lastVisitS
       dupState: DataFrame, // size, bhash, pop, uri (dupdetect accumulator)
       nextSeq: Long, nextPos: Long, seenCount: Long,
+      /** frontier pos range [posLo, nextPos) — bounded-rank bucket keys */
+      posLo: Long,
       seenBloom: Option[Array[Byte]])
 
   case class RoundOut(
       frontierOut: DataFrame,
-      seenDelta: DataFrame,
-      txDelta: DataFrame, // + round column
+      /** accepted-link delta: seq, method, canon, decoded, depth,
+        * expected, round — projects to seen/aliases/REQUESTED rows */
+      accepted: DataFrame,
+      txDelta: DataFrame, // processed rows only, + round column
       links: DataFrame, // fromSeq,toUri,toSeq,createdAtPop
       defects: DataFrame, // popPos,phase,responseSeq,typeName,evidence,severity
-      aliases: DataFrame,
-      crawlOrder: DataFrame, // popPos, seq, uri
       hostStateOut: DataFrame,
       dupStateDelta: DataFrame,
       lineage: DataFrame, // metric, partition, count
@@ -57,7 +88,7 @@ object CrawlRound {
 
   private val LinkKinds = Seq("link", "css-link", "img", "iframe", "frame")
 
-  def run(spark: SparkSession, world: WorldDF, cfg: CrawlConfig, in: RoundIn): RoundOut = {
+  def run(spark: SparkSession, world: PreparedWorld, cfg: CrawlConfig, in: RoundIn): RoundOut = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
     val S = lit(in.round * cfg.rescheduleBoundS)
     val bound = lit(cfg.rescheduleBoundS)
@@ -68,8 +99,7 @@ object CrawlRound {
 
     // robots rules per host, broadcast; longest-prefix match, allow wins
     // ties (reppy semantics; robots.py:40-63) — pure array expressions.
-    val rulesAgg = world.rules.where(col("agent") === "*")
-      .groupBy("host").agg(collect_list(struct(col("rule"), col("path_pref"))).as("rrules"))
+    val rulesAgg = world.rulesAgg
     val disallowedCol: Column = {
       val matching = filter(col("rrules"), r => startswith(col("pathq"), r.getField("path_pref")))
       val best = try_element_at(array_sort(transform(matching, r => struct(
@@ -91,29 +121,12 @@ object CrawlRound {
           .otherwise("pass"))
       .drop("rrules", "pathq")
 
-    // ---- fetch = frontier ⋈ url_map (J6), redirect resolved in one hop
-    val um = world.urlMap
-    val umT = um.select(col("url").as("t_url"), col("doc_id").as("t_doc_id"),
-      col("status").as("t_status"), col("content_type").as("t_ct"),
-      col("content_length").as("t_len"), col("detected_mime").as("t_mime"))
+    // ---- fetch = frontier ⋈ pre-resolved fetch map (J6, one join) ----
     val f2 = f1
-      .join(um, f1("uri") === um("url"), "left")
-      .join(umT, col("redirect_to") === col("t_url"), "left")
-      .withColumn("redirected", col("redirect_to").isNotNull)
-      .withColumn("finStatus",
-        when(col("url").isNull, lit(null).cast(IntegerType))
-          .when(col("redirected"), coalesce(col("t_status"), lit(404)))
-          .otherwise(col("status")))
-      .withColumn("finCtRaw",
-        coalesce(when(col("redirected"), col("t_ct")).otherwise(col("content_type")), lit("")))
+      .join(world.fetchMap, f1("uri") === col("url"), "left")
       .withColumn("ct", split(col("finCtRaw"), ";").getItem(0))
-      .withColumn("finDocId", when(col("redirected"), col("t_doc_id")).otherwise(col("doc_id")))
-      .withColumn("finLen", when(col("redirected"), col("t_len")).otherwise(col("content_length")))
-      .withColumn("finMime", when(col("redirected"), col("t_mime")).otherwise(col("detected_mime")))
       .withColumn("finalUrl",
-        when(col("redirected"), url_defrag(col("redirect_to"))).otherwise(col("uri")))
-      .drop("t_url", "t_doc_id", "t_status", "t_ct", "t_len", "t_mime",
-        "doc_id", "status", "content_type", "content_length", "detected_mime", "redirect_to")
+        when(col("redirTarget").isNotNull, url_defrag(col("redirTarget"))).otherwise(col("uri")))
 
     val maxLenGate: Column = cfg.maxContentLength
       .map(m => col("finLen") > m).getOrElse(lit(false))
@@ -131,7 +144,7 @@ object CrawlRound {
     // ---- politeness (virtual clock; declared model, oracle §deviations)
     val wHost = Window.partitionBy(col("host"))
     val f4 = f3
-      .join(broadcast(world.hosts.select(col("host"), col("crawl_delay_s").as("d"))), Seq("host"), "left")
+      .join(broadcast(world.hosts), Seq("host"), "left")
       .join(broadcast(in.hostState.select(col("host"), col("lastVisitS").as("hvt"))), Seq("host"), "left")
       .withColumn("firstSuccPos",
         min(when(col("wouldSucceed") && col("gate") === "pass", col("pos"))).over(wHost))
@@ -157,6 +170,10 @@ object CrawlRound {
       .withColumn("uriOk",
         when(col("canonSpan").isNotNull, url_defrag(col("canonSpan").getField("text")))
           .otherwise(url_defrag(col("finalUrl"))))
+      .withColumn("defArr",
+        when(col("fetchClass") === "ok" && col("ct") === "text/html" &&
+          col("spansSorted").isNotNull && !col("defer"),
+          Checks.pageDefectsArr(col("spansSorted"))))
       .drop("doc_id", "spans")
 
     // Every output branches off f5 / kids2 / accepted: persist them so
@@ -165,10 +182,6 @@ object CrawlRound {
     val processed = f5c.filter(!col("defer"))
     val deferred = f5c.filter(col("defer"))
       .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method", "expected")
-
-    // popPos ≡ pos: positions are dense in arrival order and every
-    // assigned position is popped exactly once, in order (§3.2).
-    val crawlOrder = in.frontier.select(col("pos").as("popPos"), col("seq"), col("uri"))
 
     // ---- transactions delta (only DONE-OK persists uri/ct/status) ----
     val statusCol =
@@ -224,10 +237,9 @@ object CrawlRound {
       .select(col("pos").as("popPos"), lit(4).as("phase"), col("seq").as("responseSeq"),
         lit("dup").as("typeName"), col("first").getField("p_uri").as("evidence"),
         lit(0.7).as("severity"))
-    val okHtmlChk = processed.filter(col("fetchClass") === "ok" &&
-      col("ct") === "text/html" && col("spansSorted").isNotNull)
-      .select(col("pos"), col("seq"), col("spansSorted"))
-    val checkerDefects = (dupDefects +: Checks.pageDefects(okHtmlChk)).reduce(_ unionByName _)
+    val okHtmlChk = processed.filter(col("defArr").isNotNull)
+      .select(col("pos"), col("seq"), col("defArr"))
+    val checkerDefects = dupDefects.unionByName(Checks.pageDefects(okHtmlChk))
 
     // ---- link explode (G1) + canonicalization chain (P1-P5) ----------
     val okHtml = processed.filter(col("fetchClass") === "ok" &&
@@ -250,7 +262,8 @@ object CrawlRound {
 
     // idno parity: every scheme-passing link consumes a seq, dups
     // included (transaction.py:102-115); order = (parent pop, doc order)
-    val kids2 = Ranks.withGlobalRank(kids1, Seq(col("parentPos"), col("childIdx")), "seqRank")
+    val kids2 = Ranks.withBoundedRank(kids1, Seq(col("parentPos"), col("childIdx")), "seqRank",
+        col("parentPos"), in.posLo, in.nextPos)
       .withColumn("seq", col("seqRank") + in.nextSeq).drop("seqRank")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
@@ -268,7 +281,8 @@ object CrawlRound {
     val (accepted, droppedCanons) = cfg.urlLimit match {
       case None => (newItems, None)
       case Some(limit) =>
-        val ranked = Ranks.withGlobalRank(newItems, Seq(col("seq")), "limRank")
+        val ranked = Ranks.withBoundedRank(newItems, Seq(col("seq")), "limRank",
+          col("parentPos"), in.posLo, in.nextPos)
         (ranked.filter(col("limRank") + in.seenCount < limit).drop("limRank"),
           Some(ranked.filter(col("limRank") + in.seenCount >= limit).select(col("canon"))))
     }
@@ -286,13 +300,10 @@ object CrawlRound {
     val links = linksAll.select(col("parentSeq").as("fromSeq"), col("canon").as("toUri"),
       col("seq").as("toSeq"), col("parentPos").as("createdAtPop"))
 
-    val txNew = acceptedC.select(col("seq"), col("method"), col("canon").as("uri"),
-      lit(null).cast(IntegerType).as("responseStatus"),
-      lit(null).cast(StringType).as("contentType"),
-      lit(VerificationStatus.Requested).as("verificationStatus"),
-      col("cdepth").as("depth"), col("cexpected").as("expected"), lit(in.round).as("round"))
-    val aliases = acceptedC.select(col("seq"), col("decoded").as("uri"))
-    val seenDelta = acceptedC.select(col("canon").as("uri"), col("method"), col("seq"))
+    // single "accepted" delta carries seen/aliases/REQUESTED projections
+    val acceptedOut = acceptedC.select(col("seq"), col("method"), col("canon"),
+      col("decoded"), col("cdepth").as("depth"), col("cexpected").as("expected"),
+      lit(in.round).as("round"))
 
     // ---- next frontier: deferred ∪ accepted, serial-FIFO arrival order
     val defPart = deferred.select(col("pos").as("creatorPos"), lit(0L).as("ci"),
@@ -302,10 +313,11 @@ object CrawlRound {
       (col("childIdx").cast("long") + 1L).as("ci"), col("seq"), col("canon").as("uri"),
       col("canon").as("origUri"), col("cdepth").as("depth"),
       col("parentSeq").as("srcSeq"), col("method"), col("cexpected").as("expected"))
-    val frontierOut = Ranks.withGlobalRank(defPart.unionByName(newPart),
-      Seq(col("creatorPos"), col("ci")), "posRank")
+    val frontierOut = Ranks.withBoundedRank(defPart.unionByName(newPart),
+      Seq(col("creatorPos"), col("ci")), "posRank", col("creatorPos"), in.posLo, in.nextPos)
       .withColumn("pos", col("posRank") + in.nextPos)
       .select("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- host politeness state (closed form of the serial recurrence)
     val succ = processed.filter(col("wouldSucceed") && col("gate") === "pass")
@@ -332,8 +344,8 @@ object CrawlRound {
       .unionByName(lin(acceptedC, "deduped"))
       .unionByName(lin(frontierOut, "frontierOut"))
 
-    RoundOut(frontierOut, seenDelta, txProcessed.unionByName(txNew), links,
-      defects.unionByName(checkerDefects), aliases, crawlOrder, hostStateOut,
-      dupStateDelta, lineage, cached = Seq(f5c, kids2, acceptedC))
+    RoundOut(frontierOut, acceptedOut, txProcessed, links,
+      defects.unionByName(checkerDefects), hostStateOut,
+      dupStateDelta, lineage, cached = Seq(f5c, kids2, acceptedC, frontierOut))
   }
 }

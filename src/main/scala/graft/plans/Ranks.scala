@@ -16,6 +16,35 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Bounded-key variant: when a monotone long `bucketKey` with known
+    * range [lo, hi) exists (frontier positions within a crawl round),
+    * buckets come from arithmetic on the key — NO sampling pass, one
+    * hash shuffle. Rows sharing a bucketKey value land in one bucket, so
+    * buckets are contiguous in the global order and per-bucket
+    * row_number + bucket offsets give the exact dense rank.
+    */
+  def withBoundedRank(df: DataFrame, orderCols: Seq[Column], rankCol: String,
+      bucketKey: Column, lo: Long, hi: Long, numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val span = math.max(1L, hi - lo)
+    val bucket = least(lit(p - 1L), greatest(lit(0L),
+      ((bucketKey - lo) * p / span))).cast("int")
+    val parted = df.withColumn("__gr_pid", bucket)
+      .repartition(p, col("__gr_pid"))
+    val offsets = parted.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_cnt")).over(
+          Window.orderBy(col("__gr_pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    parted
+      .join(broadcast(offsets), "__gr_pid")
+      .withColumn(rankCol,
+        row_number().over(Window.partitionBy(col("__gr_pid")).orderBy(orderCols: _*))
+          .cast("long") + col("__gr_off") - 1L)
+      .drop("__gr_pid", "__gr_off")
+  }
+
   /** Adds `rankCol` = dense global 0-based rank by `orderCols` (which
     * must be a unique key). Cost: one range shuffle + one tiny count agg.
     */

@@ -34,7 +34,8 @@ class EngineParitySpec extends AnyFunSuite {
       : (RefCrawlOracle.CrawlOutput, CrawlDriver.CrawlRun) = {
     val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
     val dir = Files.createTempDirectory(s"crawl-${spec.name}").toString
-    val run = CrawlDriver.crawl(spark, world(spec), c, dir, useBloom)
+    // bloomMinSeen=0 so the bloom prefilter band is exercised at test scale
+    val run = CrawlDriver.crawl(spark, world(spec), c, dir, useBloom, bloomMinSeen = 0L)
     (oracle, run)
   }
 
