@@ -6,14 +6,15 @@ import org.apache.spark.sql.SparkSession
 object BenchOne {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master(s"local[${sys.env.getOrElse("BENCH1_CPUS", "32")}]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("BENCH1_CPUS", "32"))
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("BENCH1_PARTS", sys.env.getOrElse("BENCH1_CPUS", "32")))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val nDocs = sys.env.getOrElse("BENCH1_DOCS", "20000").toInt
     val cpus = sys.env.getOrElse("BENCH1_CPUS", "32").toInt
     val spec = WorldSpec("bench", nHosts = math.max(64, nDocs / 500), nDocs = nDocs,
-      hotPct = 20, linkFan = 14)
+      hotPct = 20, linkFan = 14,
+      heavyText = sys.env.getOrElse("BENCH1_HEAVY", "0").toInt)
     val w = WorldGen.sparkWorld(spark, spec)
     val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF())
     // wide mode: every doc URL is a seed → one giant steady-state round

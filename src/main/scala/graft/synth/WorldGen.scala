@@ -55,7 +55,10 @@ final case class WorldSpec(
     /** every k-th doc carries script spans (noscript checker) */
     scriptEvery: Int = 0,
     /** every k-th doc carries a mailto span (mailer P14) */
-    mailEvery: Int = 0)
+    mailEvery: Int = 0,
+    /** extra ~40-word text spans per doc (realistic body sizes for
+      * benchmarks; 0 keeps the tiny fixture bodies) */
+    heavyText: Int = 0)
 
 object WorldGen {
 
@@ -169,6 +172,16 @@ object WorldGen {
       off += 10
     }
     buf += Span("text", textOf(s, d, 1), null, off)
+    for (h <- 0 until s.heavyText) {
+      val nw = 40
+      val w = new StringBuilder
+      var i = 0
+      while (i < nw) {
+        w.append(words(pmod(mix(s.seed, 40L, d, h.toLong, i.toLong), words.size))).append(' ')
+        i += 1
+      }
+      buf += Span("text", w.toString.trim, null, 1000 + off + 10 * h)
+    }
     if (pmod(mix(s.seed, 9L, d), 3) == 0)
       buf += Span("media", null, s"blob://w/${d}", off + 10)
     var o2 = off + 20
