@@ -27,22 +27,22 @@ object SparkEntry {
   @volatile private var crawlCache: Option[CrawlDriver.CrawlRun] = None
   private def tinyCrawl(s: SparkSession): CrawlDriver.CrawlRun = synchronized {
     crawlCache.getOrElse {
-      val spec = WorldSpec("entry-world", nHosts = 3, nDocs = 40,
-        politeEvery = 3, redirectEvery = 5, privateEvery = 7)
+      val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
+        politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
+        canonicalHdrEvery = 6)
       val w = WorldGen.sparkWorld(s, spec)
-      val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF())
+      val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF(),
+      if (spec.sitemapEvery > 0) w.sitemaps.toDF() else null)
       val cfg = CrawlConfig(seeds = WorldGen.seeds(spec),
-        acceptedTypes = Seq("text/html", "image/png"))
+        acceptedTypes = Seq("text/html", "image/png", "text/plain", "text/xml",
+          "application/gzip"),
+        sitemapMaxSize = 220, sitemapMaxRecords = 2)
       val dir = java.nio.file.Files.createTempDirectory("entry-crawl").toString
       val run = CrawlDriver.crawl(s, world, cfg, dir)
       crawlCache = Some(run)
       run
     }
   }
-
-  private val stopwords = Seq("the", "and", "of", "to", "in", "is", "that",
-    "it", "was", "for")
-  private val stopList = stopwords.map(w => s"'$w'").mkString(", ")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= aggregations (SURVEY §2.7) ====================
@@ -100,11 +100,15 @@ object SparkEntry {
         .orderBy(col("s_name"))
     }),
 
-    // J4/O5 top-1-per-key via row_number window
+    // J4/O5 top-1-per-key via row_number window. The ORDER BY must be a
+    // total order: (l_orderkey, l_linenumber) is NOT unique in the
+    // driver data, so l_partkey (and l_suppkey for full determinism)
+    // break ties identically here and in the oracle.
     "j4_top1_per_key" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .withColumn("rn", row_number().over(
-          Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))))
+          Window.partitionBy(col("l_orderkey"))
+            .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))))
         .filter(col("rn") === 1)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
         .orderBy(col("l_orderkey"))),
@@ -212,10 +216,17 @@ object SparkEntry {
         .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n"))
         .orderBy(col("h"))),
 
-    // D4 dup groups (size class + hash, > 1 member)
+    // D4 dup groups (size class + hash, > 1 member). The driver's
+    // documents table is dup-free, so every 10th doc is planted again
+    // under doc_id+1000000 — the query is non-vacuous and the oracle
+    // can derive the same groups.
     "d4_dup_groups" -> ((s, dir) => {
-      val d = DedupOps.dupGroups(t(s, dir, "documents"), "text", "doc_id")
-      d.orderBy(col("doc_id"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      DedupOps.dupGroups(docs.unionByName(planted), "text", "doc_id",
+        c => md5(c.cast("binary")))
+        .orderBy(col("doc_id"))
     }),
 
     "dd_minhash_pairs" -> ((s, dir) =>
@@ -239,9 +250,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    "dd_embedding_neardups" -> ((s, dir) =>
-      SimilarityOps.cosineNearDups(t(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.9).orderBy(col("idA"), col("idB"))),
+    // Embedding near-dups: every 50th vector is planted again (exact
+    // copy, cos = 1.0) under vec_id+1000000; natural max cosine in the
+    // driver data is ~0.6, so threshold 0.98 selects exactly the
+    // planted pairs — which the LSH finds with certainty (identical
+    // vectors share every band chunk). Oracle = the planted pair list.
+    "dd_embedding_neardups" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = e.filter(pmod(col("vec_id"), lit(50)) === 0)
+        .withColumn("vec_id", col("vec_id") + 1000000L)
+      SimilarityOps.cosineNearDups(e.unionByName(planted), "embedding", "vec_id",
+        threshold = 0.98).orderBy(col("idA"), col("idB"))
+    }),
 
     // ================= similarity search =============================
     "ann_brute_topk" -> ((s, dir) => {
@@ -263,6 +283,11 @@ object SparkEntry {
     "tx_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokenCount(col("text")).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))),
+
+    "tx_token_bpe" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokenCountBpe(col("text")).cast("long").as("n_bpe"))
         .orderBy(col("doc_id"))),
 
     "tx_quality" -> ((s, dir) => {
@@ -291,11 +316,20 @@ object SparkEntry {
         .orderBy(col("doc_id"))),
 
     // ================= multimodal plumbing ===========================
-    "mm_media_meta" -> ((s, dir) =>
+    // Magic-byte prefixes are synthesized per doc_id%4 so the format
+    // sniffing column is checked for real (not hardcoded in the oracle).
+    "mm_media_meta" -> ((s, dir) => {
+      val prefix = when(pmod(col("doc_id"), lit(4)) === 0, unhex(lit("89504E470D0A1A0A")))
+        .when(pmod(col("doc_id"), lit(4)) === 1, unhex(lit("FFD8FFE0")))
+        .when(pmod(col("doc_id"), lit(4)) === 2, unhex(lit("47494638")))
+        .otherwise(lit(Array.empty[Byte]))
       t(s, dir, "documents")
-        .select(col("doc_id"), MultimodalOps.mediaMeta(col("text").cast("binary")).as("m"))
-        .select(col("doc_id"), col("m.n_bytes").cast("long").as("n_bytes"), col("m.format").as("format"))
-        .orderBy(col("doc_id"))),
+        .select(col("doc_id"),
+          MultimodalOps.mediaMeta(concat(prefix, col("text").cast("binary"))).as("m"))
+        .select(col("doc_id"), col("m.n_bytes").cast("long").as("n_bytes"),
+          col("m.format").as("format"))
+        .orderBy(col("doc_id"))
+    }),
 
     "mm_decode_embed" -> ((s, dir) =>
       MultimodalOps.decodeAndEmbed(
@@ -303,6 +337,15 @@ object SparkEntry {
         "doc_id", "payload").toDF()
         .select(col("id"), col("n_bytes"), col("format"), col("width"), col("height"))
         .orderBy(col("id"))),
+
+    // frame-sampling plan: byte offsets a demuxer would sample (k=4)
+    "mm_frame_sample" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(MultimodalOps.frameSamplePlan(col("text").cast("binary"), 4)))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_idx"),
+          col("col").as("byte_off"))
+        .orderBy(col("doc_id"), col("frame_idx"))),
 
     // ================= streaming-ish / events ========================
     "ev_window_agg" -> ((s, dir) =>
@@ -337,11 +380,20 @@ object SparkEntry {
     "crawl_j2_links" -> ((s, _) =>
       tinyCrawl(s).linksWithProcessed.orderBy(col("toSeq"), col("fromSeq"))),
     "crawl_f3_hoststate" -> ((s, _) =>
-      tinyCrawl(s).hostState.orderBy(col("host")))
+      tinyCrawl(s).hostState.orderBy(col("host"))),
+    // G4 header recording: request headers of DONE-OK transactions
+    "crawl_g4_headers" -> ((s, _) =>
+      graft.report.Report.headerReport(tinyCrawl(s))),
+    // G2/G3/D3: sitemap-derived rows — virtual robots transactions plus
+    // the sitemap files and their pushed <loc> children
+    "crawl_g3_sitemaps" -> ((s, _) =>
+      tinyCrawl(s).transactions
+        .filter(col("uri").contains("robots.txt") || col("uri").contains("sitemap"))
+        .orderBy(col("seq"))),
+    // J4/O5 parent-id enrichment (database.py:439-455)
+    "crawl_j4_parent_lookup" -> ((s, _) =>
+      graft.report.Report.parentIds(tinyCrawl(s)).orderBy(col("seq")))
   )
-
-  private def q(lang: String, words: Seq[String]): String =
-    words.map(w => s"'$w'").mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
@@ -380,7 +432,8 @@ object SparkEntry {
     "j4_top1_per_key" ->
       """SELECT l_orderkey, l_linenumber, l_partkey FROM (
         | SELECT l_orderkey, l_linenumber, l_partkey,
-        |  row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |  row_number() OVER (PARTITION BY l_orderkey
+        |    ORDER BY l_linenumber, l_partkey, l_suppkey) AS rn
         | FROM lineitem) WHERE rn=1 ORDER BY l_orderkey""".stripMargin,
 
     "d1_anti_join" ->
@@ -447,9 +500,68 @@ object SparkEntry {
       """SELECT md5(text) AS h, min(doc_id) AS keeper, count(*) AS n
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "d4_dup_groups" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0),
+        |d AS (SELECT doc_id, CAST(strlen(text) AS BIGINT) AS len, md5(text) AS hash
+        |      FROM base),
+        |g AS (SELECT hash, min(doc_id) AS first_id, count(*) AS n
+        |      FROM d GROUP BY hash)
+        |SELECT d.doc_id, d.len, d.hash, g.first_id, g.n
+        |FROM d JOIN g USING (hash) WHERE g.n > 1 ORDER BY d.doc_id""".stripMargin,
+
+    "dd_embedding_neardups" ->
+      """SELECT vec_id AS idA, vec_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS cos
+        |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY idA, idB""".stripMargin,
+
     "tx_token_count" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_token_bpe" ->
+      """SELECT doc_id, CAST(
+        |  len(string_split_regex(trim(text), '\s+'))
+        |  + strlen(regexp_replace(text, '[^[:punct:]]', '', 'g'))
+        |  + CAST(floor(strlen(regexp_replace(text, '\b\w{1,6}\b|\s|[[:punct:]]', '', 'g')) / 6)
+        |      AS INT)
+        | AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_quality" ->
+      """SELECT doc_id,
+        | CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        | round(strlen(regexp_replace(text, '[^[:punct:]]', '', 'g')) * 1.0
+        |   / greatest(strlen(text), 1), 6) AS punct_ratio,
+        | round(strlen(regexp_replace(text, '[^0-9]', '', 'g')) * 1.0
+        |   / greatest(strlen(text), 1), 6) AS digit_ratio,
+        | round(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |     x -> x IN ('the','a','an','and','or','of','to','in','is','it',
+        |                'that','for','on','with','as','was','at','by'))) * 1.0
+        |   / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "tx_lang_id" ->
+      """WITH sc AS (SELECT
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x IN ('the','and','of','to','in','is','that','it','was','for'))) AS en,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x IN ('der','die','das','und','ist','nicht','mit','ein','zu','den'))) AS de,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x IN ('le','la','les','et','est','pas','pour','que','une','dans'))) AS fr,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x IN ('el','la','los','que','es','no','por','una','para','con'))) AS es,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x IN ('il','la','che','di','non','per','una','sono','con','del'))) AS it
+        | FROM documents)
+        |SELECT lang_pred, count(*) AS n FROM (
+        | SELECT CASE WHEN greatest(en,de,fr,es,it) = 0 THEN 'und'
+        |   WHEN en >= de AND en >= fr AND en >= es AND en >= it THEN 'en'
+        |   WHEN de >= fr AND de >= es AND de >= it THEN 'de'
+        |   WHEN fr >= es AND fr >= it THEN 'fr'
+        |   WHEN es >= it THEN 'es' ELSE 'it' END AS lang_pred FROM sc)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "tx_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
@@ -471,7 +583,16 @@ object SparkEntry {
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "mm_media_meta" ->
-      """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes, 'unknown' AS format
-        |FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id,
+        | CAST(strlen(text) + CASE doc_id % 4 WHEN 0 THEN 8 WHEN 1 THEN 4
+        |   WHEN 2 THEN 4 ELSE 0 END AS BIGINT) AS n_bytes,
+        | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+        |   WHEN 2 THEN 'gif' ELSE 'unknown' END AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """SELECT doc_id, i AS frame_idx, strlen(text) * i // 4 AS byte_off
+        |FROM documents, generate_series(0, 3) AS t(i)
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }

@@ -1,40 +1,95 @@
 package graft.checkpoint
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.types._
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 /** Iceberg-style snapshot layout on plain Parquet (SURVEY.md §1.4, §7):
-  * `<root>/round=K/<table>/` parquet dirs plus a `MANIFEST.json` written
+  * ONE merged `delta` table per round (`<root>/round=K/delta/`) tagged
+  * with a `kind` discriminator column, plus a `MANIFEST.json` written
   * atomically (tmp + move) as the commit marker — a round without a
-  * manifest is invisible, so a killed job resumes from the last complete
-  * round exactly (north-rule resumability). The manifest carries the
-  * driver's scalar counters and the per-partition lineage counts.
+  * manifest is invisible, so a killed job resumes from the last
+  * complete round exactly (north-rule resumability). The manifest
+  * carries the driver's scalar counters and per-partition lineage.
+  *
+  * Round 1 wrote 8 separate tables per round; at ~1s of fixed
+  * job-launch + planning + commit latency per write that serial cost
+  * dominated the whole round and flattened the core-scaling curve.
+  * The merged delta is ONE write job per round; readers filter on
+  * `kind` (parquet row-group stats prune, since the union lays kinds
+  * out contiguously).
   *
   * The `TableFormat`-shaped interface is deliberately narrow so an
   * iceberg-spark-runtime implementation can slot in unchanged (no
   * Iceberg jar ships in /opt/spark/jars).
   */
+object SnapshotStore {
+
+  /** Superset schema of the merged per-round delta. */
+  val deltaFields: Seq[(String, DataType)] = Seq(
+    "kind" -> StringType, "round" -> IntegerType,
+    // frontier / accepted / transactions family
+    "seq" -> LongType, "pos" -> LongType, "uri" -> StringType,
+    "origUri" -> StringType, "depth" -> IntegerType, "srcSeq" -> LongType,
+    "method" -> StringType, "expected" -> StringType, "referer" -> StringType,
+    "canon" -> StringType, "decoded" -> StringType,
+    "responseStatus" -> IntegerType, "contentType" -> StringType,
+    "verificationStatus" -> StringType,
+    // links
+    "fromSeq" -> LongType, "toUri" -> StringType, "toSeq" -> LongType,
+    "createdAtPop" -> LongType,
+    // defects
+    "popPos" -> LongType, "phase" -> IntegerType, "responseSeq" -> LongType,
+    "typeName" -> StringType, "evidence" -> StringType,
+    "severity" -> DoubleType, "sub" -> IntegerType,
+    // host_state
+    "host" -> StringType, "lastVisitS" -> DoubleType,
+    // dup_state (uri shared above)
+    "size" -> LongType, "bhash" -> LongType, "pop" -> LongType,
+    // headers (G4)
+    "hname" -> StringType, "hvalue" -> StringType,
+    // lineage
+    "metric" -> StringType, "partition" -> IntegerType, "count" -> LongType)
+
+  /** Projects `df` onto the superset schema with `kind`/`round` tags. */
+  def asDelta(kind: String, round: Int, df: DataFrame): DataFrame = {
+    val present = df.columns.toSet
+    val cols: Seq[Column] = deltaFields.map {
+      case ("kind", _) => lit(kind).as("kind")
+      case ("round", _) => lit(round).as("round")
+      case (c, _) if present(c) => col(c)
+      case (c, t) => lit(null).cast(t).as(c)
+    }
+    df.select(cols: _*)
+  }
+}
+
 class SnapshotStore(val root: String, spark: SparkSession) {
 
   case class Counters(round: Int, nextSeq: Long, nextPos: Long,
       popBase: Long, seenCount: Long, frontierCount: Long)
 
   private def roundDir(k: Int): Path = Paths.get(root, s"round=$k")
+  private def deltaDir(k: Int): String = roundDir(k).resolve("delta").toString
 
-  def writeTable(k: Int, name: String, df: DataFrame): Unit = {
-    val dir = roundDir(k).resolve(name).toString
-    df.write.mode("overwrite").parquet(dir)
-  }
+  /** One parquet write per round — the only durable I/O of the loop. */
+  def writeDelta(k: Int, delta: DataFrame): Unit =
+    delta.write.mode("overwrite").parquet(deltaDir(k))
 
-  def readTable(k: Int, name: String): DataFrame =
-    spark.read.parquet(roundDir(k).resolve(name).toString)
+  def readDelta(k: Int): DataFrame = spark.read.parquet(deltaDir(k))
 
-  /** Union of a delta table across rounds −1 (bootstrap)..k (empty-safe). */
-  def readTableUnion(k: Int, name: String): Option[DataFrame] = {
-    val dirs = (-1 to k).map(i => roundDir(i).resolve(name))
+  /** Rows of one `kind` in round k (parquet filter pushdown on kind). */
+  def kindOf(k: Int, kind: String): DataFrame =
+    readDelta(k).filter(col("kind") === kind)
+
+  /** Rows of one `kind` across rounds −1 (bootstrap)..k (empty-safe). */
+  def kindUnion(k: Int, kind: String): Option[DataFrame] = {
+    val dirs = (-1 to k).map(i => Paths.get(deltaDir(i)))
       .filter(p => Files.exists(p)).map(_.toString)
-    if (dirs.isEmpty) None else Some(spark.read.parquet(dirs: _*))
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).filter(col("kind") === kind))
   }
 
   /** Commit a round: MANIFEST.json written last, atomically. */

@@ -53,7 +53,8 @@ object Checks {
     okHtml.select(col("pos"), col("seq"), explode(col("defArr")).as("d"))
       .select(col("pos").as("popPos"), col("d.phase").as("phase"),
         col("seq").as("responseSeq"), col("d.typeName").as("typeName"),
-        col("d.evidence").as("evidence"), col("d.severity").as("severity"))
+        col("d.evidence").as("evidence"), col("d.severity").as("severity"),
+        col("d.sub").as("sub"))
 
   /** The per-page checker defect array (struct(phase,typeName,evidence,
     * severity)) as one expression over a sorted spans column — computed
@@ -66,10 +67,21 @@ object Checks {
 
     def mk(phase: Int, name: String, evidence: Column, sev: Double): Column =
       struct(lit(phase).as("phase"), lit(name).as("typeName"),
-        evidence.cast(StringType).as("evidence"), lit(sev).as("severity"))
+        evidence.cast(StringType).as("evidence"), lit(sev).as("severity"),
+        lit(0).as("sub"))
     /** singleton defect gated by a condition (type-stable empty via filter) */
     def one(cond: Column, phase: Int, name: String, evidence: Column, sev: Double): Column =
       filter(array(mk(phase, name, evidence, sev)), _ => cond)
+    /** rewrite `sub` to the element's index — the within-phase emission
+      * order of the reference's serial plugin loop (database.py:156-169
+      * assigns defect-type ids first-seen in emission order; without
+      * `sub`, two types first appearing at the same (popPos, phase)
+      * would tie nondeterministically).
+      */
+    def reindex(arr: Column): Column = transform(arr, (d, i) =>
+      struct(d.getField("phase").as("phase"), d.getField("typeName").as("typeName"),
+        d.getField("evidence").as("evidence"), d.getField("severity").as("severity"),
+        i.cast("int").as("sub")))
 
     // css_scraper internal <style> (css_scraper.py:52-60): first block
     val cssLen = octet_length(try_element_at(ofKind(sp, "css-int"), lit(1)).getField("text"))
@@ -84,7 +96,7 @@ object Checks {
           when(array_position(slice(styleTexts, lit(1), i - 1), element_at(styleTexts, i)) > 0,
             element_at(styleTexts, i))),
         x => x.isNotNull))
-    val inlineDup = transform(dupVals, v => mk(6, "seo:duplicit_inline", v, 0.1))
+    val inlineDup = reindex(transform(dupVals, v => mk(6, "seo:duplicit_inline", v, 0.1)))
 
     // seo_meta (seo_meta.py:24-49)
     def metaCount(name: String): Column =
@@ -97,25 +109,30 @@ object Checks {
       one(nKeys === 0, 8, "seo:nokeys", lit(""), 0.4),
       one(nKeys > 1, 8, "seo:multikeys", nKeys, 0.4))
 
-    // no_script (no_script.py:17-30)
-    def scriptDefects(cond: Column => Column, name: String, sev: Double): Column =
-      transform(filter(ofKind(sp, "script"), s => cond(s.getField("text"))),
-        s => mk(9, name, concat(lit("Script: "), s.getField("text")), sev))
-    val scripts = concat(
-      scriptDefects(v => !v.contains("noscript"), "noscript-miss", 0.7),
-      scriptDefects(v => !v.contains("comment"), "script-no-comment", 0.4))
+    // no_script (no_script.py:17-30): PER SPAN, miss before no-comment —
+    // the reference loop runs both checks on span k before span k+1,
+    // and first-seen defect-type ids depend on that interleave (a span
+    // failing only the comment check ahead of one failing only the
+    // noscript check must order script-no-comment first).
+    val scripts = reindex(flatten(transform(ofKind(sp, "script"), s => concat(
+      one(!s.getField("text").contains("noscript"), 9, "noscript-miss",
+        concat(lit("Script: "), s.getField("text")), 0.7),
+      one(!s.getField("text").contains("comment"), 9, "script-no-comment",
+        concat(lit("Script: "), s.getField("text")), 0.4)))))
 
-    // seo_images (seo_images.py:22-37): flags ride in media_ref
-    def imgDefects(flag: String, name: String): Column =
-      transform(filter(ofKind(sp, "img"),
-          s => !coalesce(s.getField("media_ref"), lit("")).contains(flag)),
-        s => mk(10, name, s.getField("text"), 0.6))
-    val imgs = concat(imgDefects("w", "seo:img:nowidth"), imgDefects("h", "seo:img:noheight"))
+    // seo_images (seo_images.py:22-37): flags ride in media_ref; per
+    // span, nowidth before noheight (same interleave argument)
+    val imgs = reindex(flatten(transform(ofKind(sp, "img"), s => {
+      val flags = coalesce(s.getField("media_ref"), lit(""))
+      concat(
+        one(!flags.contains("w"), 10, "seo:img:nowidth", s.getField("text"), 0.6),
+        one(!flags.contains("h"), 10, "seo:img:noheight", s.getField("text"), 0.6))
+    })))
 
     // mailer (mailer.py:27-50), default config: mailto links only
-    val mails = transform(ofKind(sp, "mail"), s => mk(11, "mail",
+    val mails = reindex(transform(ofKind(sp, "mail"), s => mk(11, "mail",
       concat(lit("Link: "), s.getField("text"),
-        lit(", valid: True (checked SMTP server: False, verified existence: False)")), 0.8))
+        lit(", valid: True (checked SMTP server: False, verified existence: False)")), 0.8)))
 
     concat(huge, inlineDup, meta, scripts, imgs, mails)
   }

@@ -1,38 +1,61 @@
 package graft.frontier
 
 import graft.checkpoint.SnapshotStore
+import graft.checkpoint.SnapshotStore.asDelta
 import graft.model._
 import graft.seen.UrlSeen
 import graft.url.UrlFuncs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+import org.apache.spark.util.sketch.BloomFilter
 
 /** BSP crawl loop: one [[CrawlRound]] per iteration, each committed as a
   * snapshot (SURVEY.md §2.11); resume loads the last complete snapshot.
-  * Driver state is O(1) scalars — frontier/seen/outputs never collect.
+  * Driver state is O(1) scalars plus one fixed-size bloom — frontier/
+  * seen/outputs never collect.
+  *
+  * Per-round fixed cost is kept to TWO Spark jobs (the merged delta
+  * write + the tiny lineage read-back): cross-round state re-points at
+  * the just-committed parquet (deterministic, lineage-free plans), the
+  * cumulative URL-seen table is a union of per-round cached deltas
+  * (never re-read from disk), and the seen-bloom is merged
+  * incrementally from each round's accepted delta instead of being
+  * rebuilt from a full seen scan.
   */
 object CrawlDriver {
 
+  private val frontierCols = Seq("seq", "pos", "uri", "origUri", "depth",
+    "srcSeq", "method", "expected", "referer")
+
   case class CrawlRun(store: SnapshotStore, lastRound: Int, spark: SparkSession) {
-    private def union(name: String): DataFrame =
-      store.readTableUnion(lastRound, name).get
+    private def unionKind(name: String): DataFrame =
+      store.kindUnion(lastRound, name).get
     /** accepted-URL delta (seq, method, canon, decoded, depth, expected,
       * round) — the seen set, aliases and REQUESTED rows project off it.
       */
-    def accepted: DataFrame = union("accepted")
+    def accepted: DataFrame = unionKind("accepted")
+      .select("seq", "method", "canon", "decoded", "depth", "expected", "round")
     /** crawl order ≡ the popped frontiers: round k pops frontier(k−1),
       * and popPos ≡ pos (§3.2) — no separate table needed.
       */
     def crawlOrder: DataFrame =
-      store.readTableUnion(lastRound - 1, "frontier").get
+      store.kindUnion(lastRound - 1, "frontier").get
         .select(col("pos").as("popPos"), col("seq"), col("uri"))
-    def links: DataFrame = union("links")
-    def defects: DataFrame = union("defects")
+    def links: DataFrame = unionKind("links")
+      .select("fromSeq", "toUri", "toSeq", "createdAtPop")
+    def defects: DataFrame = unionKind("defects")
+      .select("popPos", "phase", "responseSeq", "typeName", "evidence",
+        "severity", "sub")
     def aliases: DataFrame = accepted.select(col("seq"), col("decoded").as("uri"))
     def seen: DataFrame =
       accepted.select(col("canon").as("uri"), col("method"), col("seq"))
-    def hostState: DataFrame = store.readTable(lastRound, "host_state")
+    def hostState: DataFrame =
+      store.kindOf(lastRound, "host_state").select("host", "lastVisitS")
+    /** G4 header fact rows (seq, name, value) of DONE-OK transactions. */
+    def headers: DataFrame = unionKind("headers")
+      .select(col("seq"), col("hname").as("name"), col("hvalue").as("value"))
     /** transactions: latest row per seq wins (REQUESTED → DONE-*). */
     def transactions: DataFrame = {
       val requested = accepted.select(col("seq"), col("method"),
@@ -41,7 +64,10 @@ object CrawlDriver {
         lit(null).cast("string").as("contentType"),
         lit(VerificationStatus.Requested).as("verificationStatus"),
         col("depth"), col("expected"), col("round"))
-      val all = union("transactions").unionByName(requested)
+      val processed = unionKind("transactions").select("seq", "method", "uri",
+        "responseStatus", "contentType", "verificationStatus", "depth",
+        "expected", "round")
+      val all = processed.unionByName(requested)
       all.withColumn("rn", row_number().over(
           Window.partitionBy(col("seq")).orderBy(col("round").desc)))
         .filter(col("rn") === 1).drop("rn", "round")
@@ -82,15 +108,26 @@ object CrawlDriver {
       }
     }
     val frontier = items.toSeq.map(i =>
-        (i.seq, i.pos, i.uri, i.uri, i.depth, i.srcSeq, i.method, i.expected.orNull))
-      .toDF("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected")
-    store.writeTable(-1, "frontier", frontier)
-    store.writeTable(-1, "accepted", items.toSeq.zip(aliases).map { case (i, a) =>
-        (i.seq, i.method, i.uri, a.uri, i.depth, i.expected.orNull, -1)
-      }.toDF("seq", "method", "canon", "decoded", "depth", "expected", "round"))
-    store.writeTable(-1, "host_state", spark.emptyDataset[HostState].toDF())
+        (i.seq, i.pos, i.uri, i.uri, i.depth, i.srcSeq, i.method, i.expected.orNull,
+          null: String))
+      .toDF("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected",
+        "referer")
+    val accepted = items.toSeq.zip(aliases).map { case (i, a) =>
+        (i.seq, i.method, i.uri, a.uri, i.depth, i.expected.orNull)
+      }.toDF("seq", "method", "canon", "decoded", "depth", "expected")
+    val hostState = spark.emptyDataset[HostState].toDF()
+    store.writeDelta(-1, asDelta("frontier", -1, frontier)
+      .unionByName(asDelta("accepted", -1, accepted))
+      .unionByName(asDelta("host_state", -1, hostState))
+      .coalesce(1))
     store.commit(-1, store.Counters(-1, nextSeq, nextPos, 0L, seen.size.toLong,
       items.size.toLong), Seq(("seeds", 0, items.size.toLong)))
+  }
+
+  private def bloomToBytes(b: BloomFilter): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    b.writeTo(bos)
+    bos.toByteArray
   }
 
   /** Run (or resume) a crawl; returns a handle over the snapshot dirs. */
@@ -101,56 +138,91 @@ object CrawlDriver {
     if (store.latestCommitted().isEmpty) bootstrap(spark, cfg, store)
     // round-invariant world prep (redirect-resolved fetch map, robots
     // aggregation), cached once and shared by every round
-    import org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val prepped0 = CrawlRound.prepare(world0)
+    val prepped0 = CrawlRound.prepare(world0, cfg)
+    val hosts = prepped0.hosts.persist(MEMORY_AND_DISK)
+    // one O(1) probe per crawl: delay-free worlds skip politeness joins
+    val hasDelays = hosts.filter(col("d").isNotNull).limit(1).count() > 0
     val world = CrawlRound.PreparedWorld(
       prepped0.docs.persist(MEMORY_AND_DISK),
       prepped0.fetchMap.persist(MEMORY_AND_DISK),
-      prepped0.hosts.persist(MEMORY_AND_DISK),
-      prepped0.rulesAgg.persist(MEMORY_AND_DISK))
+      hosts,
+      prepped0.rulesAgg.persist(MEMORY_AND_DISK),
+      hasDelays,
+      sitemapsAgg =
+        if (prepped0.sitemapsAgg == null) null
+        else prepped0.sitemapsAgg.persist(MEMORY_AND_DISK))
 
     var last = store.latestCommitted().get
     var c = store.readCounters(last)
+    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+
+    // ---- cross-round state: parquet-rooted, cumulative parts cached --
+    def seenSel(df: DataFrame): DataFrame =
+      df.select(col("canon").as("uri"), col("method"), col("seq"))
+    def dupSel(df: DataFrame): DataFrame =
+      df.select(col("size"), col("bhash"), col("pop"), col("uri"))
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // the frontier parquet is small, so a bare read lands in ~1 input
+    // split — an explicit hash repartition keeps the round's narrow
+    // pipeline (URL chain, checks) at full parallelism
+    def frontierSel(df: DataFrame): DataFrame =
+      df.select(frontierCols.map(col): _*).repartition(parts, col("pos"))
+    val seenParts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      seenSel(store.kindUnion(last, "accepted").get).persist(MEMORY_AND_DISK))
+    val dupParts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      store.kindUnion(last, "dup_state").map(dupSel)
+        .getOrElse(spark.emptyDataFrame
+          .select(lit(0L).as("size"), lit(0L).as("bhash"), lit(0L).as("pop"),
+            lit("").as("uri")).limit(0)).persist(MEMORY_AND_DISK))
+    val mapParts = scala.collection.mutable.ArrayBuffer[DataFrame](
+      store.kindUnion(last, "known_maps").map(_.select(col("uri")))
+        .getOrElse(spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
+        .persist(MEMORY_AND_DISK))
+    def seenCum: DataFrame = seenParts.reduce(_ unionByName _)
+    def dupCum: DataFrame = dupParts.reduce(_ unionByName _)
+    def mapsCum: DataFrame = mapParts.reduce(_ unionByName _)
+    var frontier = frontierSel(store.kindOf(last, "frontier"))
+    var hostState = store.kindOf(last, "host_state").select("host", "lastVisitS")
+
+    // ---- incremental seen-bloom (fixed capacity so per-round delta
+    // blooms merge bit-for-bit; oversize seen just raises the FP rate,
+    // which only costs extra exact-verify work — never correctness) ----
+    val bloomCapacity = math.max(4L * math.max(bloomMinSeen, 1L), 1L << 20)
+    var bloomF: Option[BloomFilter] =
+      if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L))
+        Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
+          UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
+      else None
+
     while (c.frontierCount > 0 && (cfg.maxRounds <= 0 || c.round + 1 < cfg.maxRounds)) {
       val round = c.round + 1
-      val frontier = store.readTable(last, "frontier")
-      val seen = store.readTableUnion(last, "accepted").get
-        .select(col("canon").as("uri"), col("method"), col("seq"))
-      val hostState = store.readTable(last, "host_state")
-      val dupState = store.readTableUnion(last, "dup_state").getOrElse {
-        import spark.implicits._
-        spark.emptyDataset[(Long, Long, Long, String)]
-          .toDF("size", "bhash", "pop", "uri")
-      }
-      val bloom =
-        if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L))
-          Some(UrlSeen.buildBloom(seen, UrlSeen.seenKey(col("uri"), col("method")),
-            expectedItems = math.max(c.seenCount * 2, 1024L)))
-        else None
+      val tR = System.nanoTime()
       val out = CrawlRound.run(spark, world, cfg,
-        CrawlRound.RoundIn(round, frontier, seen, hostState, dupState,
-          c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount, bloom))
+        CrawlRound.RoundIn(round, frontier, seenCum, hostState, dupCum, mapsCum,
+          c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount,
+          bloomF.map(bloomToBytes)))
 
-      val trace = sys.env.contains("SPARK_GRAFT_TRACE")
-      def timedWrite(name: String, df: DataFrame): Unit = {
-        val t = System.nanoTime()
-        store.writeTable(round, name, df)
-        if (trace) println(f"[w $round $name] ${(System.nanoTime() - t) / 1e9}%.1fs")
-      }
-      val tW0 = System.nanoTime()
-      timedWrite("frontier", out.frontierOut)
-      val tW1 = System.nanoTime()
-      timedWrite("accepted", out.accepted)
-      timedWrite("transactions", out.txDelta)
-      timedWrite("links", out.links)
-      timedWrite("defects", out.defects)
-      timedWrite("host_state", out.hostStateOut)
-      timedWrite("dup_state", out.dupStateDelta)
-      timedWrite("lineage", out.lineage)
-      val tW2 = System.nanoTime()
-      val lineageRows = store.readTable(round, "lineage").collect()
+      // ---- job 1: the merged delta write ------------------------------
+      val delta = Seq(
+        asDelta("frontier", round, out.frontierOut),
+        asDelta("accepted", round, out.accepted),
+        asDelta("transactions", round, out.txDelta),
+        asDelta("links", round, out.links),
+        asDelta("defects", round, out.defects),
+        asDelta("host_state", round, out.hostStateOut),
+        asDelta("dup_state", round, out.dupStateDelta),
+        asDelta("known_maps", round, out.knownMapsDelta),
+        asDelta("headers", round, out.headers),
+        asDelta("lineage", round, out.lineage)
+      ).reduce(_ unionByName _).coalesce(parts)
+      val tW = System.nanoTime()
+      store.writeDelta(round, delta)
+
+      // ---- job 2: tiny lineage read-back for the O(1) counters --------
+      val tL = System.nanoTime()
+      val lineageRows = store.kindOf(round, "lineage")
+        .select("metric", "partition", "count").collect()
         .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
-      out.cached.foreach(_.unpersist(blocking = false))
       def metric(name: String): Long = lineageRows.filter(_._1 == name).map(_._3).sum
       // every scheme-passing link consumed a seq (dups and over-limit
       // drops included) — the "discovered" lineage metric counts exactly
@@ -167,10 +239,32 @@ object CrawlDriver {
         seenCount = c.seenCount + acceptedCount,
         frontierCount = frontierCount)
       store.commit(round, c, lineageRows)
-      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+
+      // ---- re-point state at the committed parquet --------------------
+      frontier = frontierSel(store.kindOf(round, "frontier"))
+      hostState = store.kindOf(round, "host_state").select("host", "lastVisitS")
+      val seenDelta = seenSel(store.kindOf(round, "accepted")).persist(MEMORY_AND_DISK)
+      seenParts += seenDelta
+      dupParts += dupSel(store.kindOf(round, "dup_state")).persist(MEMORY_AND_DISK)
+      mapParts += store.kindOf(round, "known_maps").select(col("uri"))
+        .persist(MEMORY_AND_DISK)
+
+      // ---- incremental bloom: merge the round's delta ------------------
+      if (useBloom && acceptedCount > 0) bloomF match {
+        case Some(b) =>
+          b.mergeInPlace(UrlSeen.deserialize(UrlSeen.buildBloom(seenDelta,
+            UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
+        case None if c.seenCount >= math.max(bloomMinSeen, 1L) =>
+          bloomF = Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
+            UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
+        case None => ()
+      }
+
+      out.cached.foreach(_.unpersist(blocking = false))
+      if (trace)
         println(f"[round $round] frontierIn=$popped fetched=${metric("fetched")} " +
-          f"frontierWrite=${(tW1 - tW0) / 1e9}%.1fs otherWrites=${(tW2 - tW1) / 1e9}%.1fs " +
-          f"lineage+rest=${(System.nanoTime() - tW2) / 1e9}%.1fs")
+          f"plan=${(tW - tR) / 1e9}%.1fs write=${(tL - tW) / 1e9}%.1fs " +
+          f"rest=${(System.nanoTime() - tL) / 1e9}%.1fs")
       last = round
     }
     CrawlRun(store, last, spark)

@@ -31,20 +31,29 @@ object CrawlRound {
 
   /** World tables as DataFrames (columns per graft.model case classes). */
   case class WorldDF(docs: DataFrame, urlMap: DataFrame, hosts: DataFrame,
-      rules: DataFrame)
+      rules: DataFrame, sitemaps: DataFrame = null)
 
   /** Round-invariant world prep, computed once per crawl: redirects
     * pre-resolved into the fetch table (single join per round instead of
-    * two) and robots rules pre-grouped per host.
+    * two) and robots rules pre-grouped per host. `hasDelays` lets the
+    * round skip the whole politeness machinery (host-state join +
+    * first-success aggregation) for worlds without crawl delays.
     */
   case class PreparedWorld(docs: DataFrame, fetchMap: DataFrame, hosts: DataFrame,
-      rulesAgg: DataFrame)
+      rulesAgg: DataFrame, hasDelays: Boolean = true,
+      /** per-host sitemap loc lists, lexicographically sorted (the
+        * declared iteration order for robots.py:76-80's set diff);
+        * null => world has no sitemaps table */
+      sitemapsAgg: DataFrame = null)
 
-  def prepare(w: WorldDF): PreparedWorld = {
+  private[frontier] val ScannerTypes = Seq("application/gzip", "text/xml", "application/xml")
+
+  def prepare(w: WorldDF, cfg: CrawlConfig): PreparedWorld = {
     val um = w.urlMap
     val umT = um.select(col("url").as("t_url"), col("doc_id").as("t_doc_id"),
       col("status").as("t_status"), col("content_type").as("t_ct"),
-      col("content_length").as("t_len"), col("detected_mime").as("t_mime"))
+      col("content_length").as("t_len"), col("detected_mime").as("t_mime"),
+      col("canonical_to").as("t_canon"))
     val fetchMap = um.join(umT, um("redirect_to") === col("t_url"), "left")
       .withColumn("redirected", col("redirect_to").isNotNull)
       .select(col("url"),
@@ -55,11 +64,20 @@ object CrawlRound {
         when(col("redirected"), col("t_doc_id")).otherwise(col("doc_id")).as("finDocId"),
         when(col("redirected"), col("t_len")).otherwise(col("content_length")).as("finLen"),
         when(col("redirected"), col("t_mime")).otherwise(col("detected_mime")).as("finMime"),
-        when(col("redirected"), col("redirect_to")).otherwise(lit(null)).as("redirTarget"))
-    val rulesAgg = w.rules.where(col("agent") === "*")
+        when(col("redirected"), col("redirect_to")).otherwise(lit(null)).as("redirTarget"),
+        when(col("redirected"), col("t_canon")).otherwise(col("canonical_to")).as("finCanon"))
+    // agent scoping as the reference's robots parser applies it: the
+    // wildcard group plus the configured agent's own group (robots.py
+    // via reppy; oracle applies the identical filter)
+    val rulesAgg = w.rules.where(col("agent") === "*" || col("agent") === cfg.agent)
       .groupBy("host").agg(collect_list(struct(col("rule"), col("path_pref"))).as("rrules"))
+    val smAgg =
+      if (w.sitemaps == null) null
+      else w.sitemaps.groupBy("host")
+        .agg(sort_array(collect_list(col("loc"))).as("slocs"))
     PreparedWorld(w.docs, fetchMap,
-      w.hosts.select(col("host"), col("crawl_delay_s").as("d")), rulesAgg)
+      w.hosts.select(col("host"), col("crawl_delay_s").as("d")), rulesAgg,
+      sitemapsAgg = smAgg)
   }
 
   case class RoundIn(
@@ -68,6 +86,7 @@ object CrawlRound {
       seen: DataFrame, // uri, method, seq
       hostState: DataFrame, // host, lastVisitS
       dupState: DataFrame, // size, bhash, pop, uri (dupdetect accumulator)
+      knownMaps: DataFrame, // uri (D3 known-sitemaps set)
       nextSeq: Long, nextPos: Long, seenCount: Long,
       /** frontier pos range [posLo, nextPos) — bounded-rank bucket keys */
       posLo: Long,
@@ -83,6 +102,8 @@ object CrawlRound {
       defects: DataFrame, // popPos,phase,responseSeq,typeName,evidence,severity
       hostStateOut: DataFrame,
       dupStateDelta: DataFrame,
+      knownMapsDelta: DataFrame, // uri
+      headers: DataFrame, // seq, hname, hvalue (G4; empty if !recordHeaders)
       lineage: DataFrame, // metric, partition, count
       cached: Seq[DataFrame]) // persisted intermediates; unpersist after commit
 
@@ -94,8 +115,12 @@ object CrawlRound {
     val bound = lit(cfg.rescheduleBoundS)
 
     // ---- gates ------------------------------------------------------
-    val worthCol: Column = cfg.uriRegexes.map(r => col("uri").rlike(r))
-      .reduceOption(_ || _).getOrElse(lit(true))
+    // canTouch (acceptor.py:32): Python re.match anchors at the string
+    // START, so each regex is wrapped in ^(?:...); with NO configured
+    // regexes nothing is worth touching (exists over an empty list) —
+    // identical in the oracle (lookingAt over the same list).
+    val worthCol: Column = cfg.uriRegexes.map(r => col("uri").rlike("^(?:" + r + ")"))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
     // robots rules per host, broadcast; longest-prefix match, allow wins
     // ties (reppy semantics; robots.py:40-63) — pure array expressions.
@@ -121,18 +146,25 @@ object CrawlRound {
           .otherwise("pass"))
       .drop("rrules", "pathq")
 
+    // uri_normalizer (P5, uri_normalizer.py:22-27): a separate column —
+    // the frontier row (and hence deferral/crawl-order/non-OK
+    // transactions) keeps the pre-normalize uri, exactly like the
+    // reference where Reschedule fires before the normalizer plugin
+    val f1n = f1.withColumn("uriN",
+      if (cfg.normalizeUris) url_defrag(url_normalize(col("uri"))) else col("uri"))
+
     // ---- fetch = frontier ⋈ pre-resolved fetch map (J6, one join) ----
-    val f2 = f1
-      .join(world.fetchMap, f1("uri") === col("url"), "left")
+    val f2 = f1n
+      .join(world.fetchMap, f1n("uriN") === col("url"), "left")
       .withColumn("ct", split(col("finCtRaw"), ";").getItem(0))
       .withColumn("finalUrl",
-        when(col("redirTarget").isNotNull, url_defrag(col("redirTarget"))).otherwise(col("uri")))
+        when(col("redirTarget").isNotNull, url_defrag(col("redirTarget"))).otherwise(col("uriN")))
 
     val maxLenGate: Column = cfg.maxContentLength
       .map(m => col("finLen") > m).getOrElse(lit(false))
     val f3 = f2.withColumn("fetchClass",
       when(col("gate") =!= "pass", col("gate"))
-        .when(!url_scheme(col("uri")).isin("http", "https"), "scheme")
+        .when(!url_scheme(col("uriN")).isin("http", "https"), "scheme")
         .when(col("url").isNull, "neterr")
         .when(col("finStatus") =!= 200, "badstatus")
         .when(!col("ct").isin(cfg.acceptedTypes: _*), "cttype")
@@ -142,21 +174,33 @@ object CrawlRound {
       .withColumn("wouldSucceed", col("fetchClass") === "ok")
 
     // ---- politeness (virtual clock; declared model, oracle §deviations)
-    val wHost = Window.partitionBy(col("host"))
-    val f4 = f3
-      .join(broadcast(world.hosts), Seq("host"), "left")
-      .join(broadcast(in.hostState.select(col("host"), col("lastVisitS").as("hvt"))), Seq("host"), "left")
-      .withColumn("firstSuccPos",
-        min(when(col("wouldSucceed") && col("gate") === "pass", col("pos"))).over(wHost))
-      .withColumn("defer",
-        (col("gate") === "pass") && col("d").isNotNull && (
-          when(col("hvt").isNotNull && col("d") <= bound, lit(false))
-            .when(col("hvt").isNotNull &&
-              (col("hvt") + col("d") - greatest(S, col("hvt")) > bound), lit(true))
-            .when(col("hvt").isNotNull,
-              col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))
-            .otherwise((col("d") > bound) &&
-              col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))))
+    // Per-host first-success via a partial-aggregating groupBy + join
+    // back (map-side combine makes the hot-host key skew-safe — a
+    // Window.partitionBy(host) would pull every hot-host row into one
+    // task). Worlds without crawl delays skip the machinery entirely.
+    val f4 = if (!world.hasDelays) {
+      f3.withColumn("d", lit(null).cast(DoubleType))
+        .withColumn("hvt", lit(null).cast(DoubleType))
+        .withColumn("defer", lit(false))
+    } else {
+      val withHost = f3
+        .join(broadcast(world.hosts), Seq("host"), "left")
+        .join(broadcast(in.hostState.select(col("host"), col("lastVisitS").as("hvt"))),
+          Seq("host"), "left")
+      val firstSucc = withHost
+        .filter(col("wouldSucceed") && col("gate") === "pass")
+        .groupBy("host").agg(min(col("pos")).as("firstSuccPos"))
+      withHost.join(broadcast(firstSucc), Seq("host"), "left")
+        .withColumn("defer",
+          (col("gate") === "pass") && col("d").isNotNull && (
+            when(col("hvt").isNotNull && col("d") <= bound, lit(false))
+              .when(col("hvt").isNotNull &&
+                (col("hvt") + col("d") - greatest(S, col("hvt")) > bound), lit(true))
+              .when(col("hvt").isNotNull,
+                col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))
+              .otherwise((col("d") > bound) &&
+                col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))))
+    }
 
     // ---- body (J6b: docs join) + canonical-span rewrite (P8) ---------
     val sortedSpans = expr(
@@ -167,21 +211,33 @@ object CrawlRound {
       .withColumn("spansSorted", sortedSpans)
       .withColumn("canonSpan",
         try_element_at(filter(col("spansSorted"), s => s.getField("kind") === "canonical"), lit(1)))
+      // primary-URI rewrite chain: redirect → `Link: rel=canonical`
+      // response header (P7, canonical.py:22-28) → body canonical span
+      .withColumn("uriHdr",
+        when(col("finCanon").isNotNull, url_defrag(col("finCanon")))
+          .otherwise(url_defrag(col("finalUrl"))))
       .withColumn("uriOk",
         when(col("canonSpan").isNotNull, url_defrag(col("canonSpan").getField("text")))
-          .otherwise(url_defrag(col("finalUrl"))))
+          .otherwise(col("uriHdr")))
       .withColumn("defArr",
         when(col("fetchClass") === "ok" && col("ct") === "text/html" &&
           col("spansSorted").isNotNull && !col("defer"),
           Checks.pageDefectsArr(col("spansSorted"))))
       .drop("doc_id", "spans")
 
-    // Every output branches off f5 / kids2 / accepted: persist them so
-    // the ~10 output writes don't recompute the whole round pipeline.
-    val f5c = f5.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Every output branches off f5 / kids2 / accepted. f5 is EAGERLY
+    // local-checkpointed (not merely persisted): ~8 output branches
+    // reference it, and with a plain persist each branch's logical plan
+    // still contains the whole round tree, so the driver re-analyzes/
+    // re-optimizes the full DAG per branch — serial time that does not
+    // shrink with cores and flattened the round-1 scaling curve. The
+    // checkpoint truncates lineage to a leaf; on a cluster this becomes
+    // a reliable checkpoint to the snapshot store's filesystem.
+    val f5c = f5.localCheckpoint()
     val processed = f5c.filter(!col("defer"))
     val deferred = f5c.filter(col("defer"))
-      .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method", "expected")
+      .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method",
+        "expected", "referer")
 
     // ---- transactions delta (only DONE-OK persists uri/ct/status) ----
     val statusCol =
@@ -203,9 +259,10 @@ object CrawlRound {
         evidence: Column, sev: Double): DataFrame =
       processed.filter(cond).select(
         col("pos").as("popPos"), lit(phase).as("phase"), seqCol.as("responseSeq"),
-        lit(name).as("typeName"), evidence.as("evidence"), lit(sev).as("severity"))
+        lit(name).as("typeName"), evidence.as("evidence"), lit(sev).as("severity"),
+        lit(0).as("sub"))
     val reached200 = (col("gate") === "pass") &&
-      url_scheme(col("uri")).isin("http", "https") &&
+      url_scheme(col("uriN")).isin("http", "https") &&
       col("url").isNotNull && (col("finStatus") === 200)
     val defects = Seq(
       defectDf(col("fetchClass") === "invalid", 0, col("seq"), "invaliduri", col("uri"), 1.0),
@@ -236,12 +293,35 @@ object CrawlRound {
       .agg(min(struct(col("p_pop"), col("p_uri"))).as("first"))
       .select(col("pos").as("popPos"), lit(4).as("phase"), col("seq").as("responseSeq"),
         lit("dup").as("typeName"), col("first").getField("p_uri").as("evidence"),
-        lit(0.7).as("severity"))
+        lit(0.7).as("severity"), lit(0).as("sub"))
     val okHtmlChk = processed.filter(col("defArr").isNotNull)
       .select(col("pos"), col("seq"), col("defArr"))
+    // sitemap_scanner conditions (A7, sitemap_scanner.py:70-79; declared
+    // plugin order puts the scanner last → phase 12). Deviation note:
+    // we implement the documented intent — the reference's tag test at
+    // :40-44 short-circuits every well-formed urlset and its size check
+    // would NameError at :73.
+    val smPages = processed.filter(col("fetchClass") === "ok" &&
+        col("ct").isin(ScannerTypes: _*) && col("spansSorted").isNotNull)
+      .withColumn("nlocs", size(filter(col("spansSorted"),
+        sp => sp.getField("kind") === "sitemap-loc")))
+      .filter(col("nlocs") > 0)
+    val sizeFired = col("finLen") > cfg.sitemapMaxSize
+    val smDefects = smPages.filter(sizeFired).select(
+        col("pos").as("popPos"), lit(12).as("phase"), col("seq").as("responseSeq"),
+        lit("sitemapsize").as("typeName"), col("finLen").cast(StringType).as("evidence"),
+        lit(0.6).as("severity"), lit(0).as("sub"))
+      .unionByName(smPages.filter(col("nlocs") > cfg.sitemapMaxRecords).select(
+        col("pos").as("popPos"), lit(12).as("phase"), col("seq").as("responseSeq"),
+        lit("sitemaprecords").as("typeName"), col("nlocs").cast(StringType).as("evidence"),
+        lit(0.6).as("severity"),
+        when(sizeFired, 1).otherwise(0).as("sub")))
     val checkerDefects = dupDefects.unionByName(Checks.pageDefects(okHtmlChk))
+      .unionByName(smDefects)
 
     // ---- link explode (G1) + canonicalization chain (P1-P5) ----------
+    val kidCols = Seq("parentSeq", "parentPos", "childIdx", "canon", "decoded",
+      "cexpected", "cdepth", "referer", "smHost")
     val okHtml = processed.filter(col("fetchClass") === "ok" &&
       col("ct") === "text/html" && col("spansSorted").isNotNull)
     val kids0 = okHtml.select(
@@ -258,14 +338,105 @@ object CrawlRound {
       .withColumn("cexpected",
         when(col("span").getField("kind") === "img", "image/").otherwise(lit(null).cast(StringType)))
       .withColumn("cdepth", col("depth") + 1)
-      .select("parentSeq", "parentPos", "childIdx", "canon", "decoded", "cexpected", "cdepth")
+      .withColumn("referer", col("base")) // transaction.py:174
+      .withColumn("smHost", lit(null).cast(StringType))
+      .select(kidCols.map(col): _*)
+
+    // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
+    // (sitemap_scanner.py:118-124 pushes the <loc> string directly) ----
+    val okXml = processed.filter(col("fetchClass") === "ok" &&
+      col("ct").isin(ScannerTypes: _*) && col("spansSorted").isNotNull)
+    val smLocKids = okXml.select(
+        col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
+        col("uriOk").as("base"),
+        posexplode(filter(col("spansSorted"),
+          sp => sp.getField("kind") === "sitemap-loc")).as(Seq("childIdx", "span")))
+      .filter(url_scheme(col("span").getField("text")).isin("http", "https"))
+      .withColumn("decoded", url_unquote2(col("span").getField("text")))
+      .withColumn("canon", url_defrag(col("decoded")))
+      .withColumn("cexpected", lit(null).cast(StringType))
+      .withColumn("cdepth", col("depth") + 1)
+      .withColumn("referer", col("base"))
+      .withColumn("smHost", lit(null).cast(StringType))
+      .select(kidCols.map(col): _*)
+
+    // ---- robots-sitemap virtual links (G3/D3, robots.py:72-83) -------
+    // Trigger = the host's FIRST robots-allowed pop this round whose
+    // sitemap set still has unknown locs; per-loc winner = smallest
+    // trigger pos (the serial known-maps evolution). Emission order per
+    // trigger: robots virtual tx, then new locs lexicographically
+    // (declared deviation: the reference iterates a Python set) — all
+    // BEFORE the page's own children (record_sitemaps runs pre-fetch),
+    // hence the negative childIdx keys.
+    val (smVirtualKids, knownMapsDelta) =
+      if (world.sitemapsAgg == null)
+        (None, spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
+      else {
+        val sitePops = f5c.filter(col("gate") === "pass")
+          .join(broadcast(world.sitemapsAgg), Seq("host"))
+          .groupBy(col("host"))
+          .agg(min(struct(col("pos"), col("seq"), col("depth"))).as("f"),
+            first(col("slocs")).as("slocs"))
+          .select(col("host"), col("f.pos").as("hpos"), col("f.seq").as("hseq"),
+            col("f.depth").as("hdepth"), col("slocs"))
+        val cand = sitePops.select(col("host"), col("hpos"), col("hseq"),
+          col("hdepth"), posexplode(col("slocs")).as(Seq("li", "loc")))
+        val fresh = cand.join(in.knownMaps.select(col("uri").as("loc")),
+          Seq("loc"), "left_anti")
+        val won = fresh.withColumn("rn0",
+            row_number().over(Window.partitionBy(col("loc")).orderBy(col("hpos"))))
+          .filter(col("rn0") === 1).drop("rn0")
+          .withColumn("j",
+            row_number().over(Window.partitionBy(col("host")).orderBy(col("li"))) - 1)
+        val robotsUri = concat(lit("http://"), col("host"), lit("/robots.txt"))
+        val robotsRows = won.select(col("host"), col("hpos"), col("hseq"), col("hdepth"))
+          .distinct()
+          .select(col("hseq").as("parentSeq"), col("hpos").as("parentPos"),
+            lit(-2000000).as("childIdx"),
+            url_defrag(url_unquote2(robotsUri)).as("canon"),
+            url_unquote2(robotsUri).as("decoded"),
+            lit(null).cast(StringType).as("cexpected"),
+            (col("hdepth") + 1).as("cdepth"),
+            lit(null).cast(StringType).as("referer"),
+            col("host").as("smHost"))
+        val mapRows = won
+          .select(lit(-1L).as("parentSeq"), // robots tx seq, fixed post-rank
+            col("hpos").as("parentPos"),
+            (lit(-1000000) + col("j")).cast("int").as("childIdx"),
+            url_defrag(url_unquote2(col("loc"))).as("canon"),
+            url_unquote2(col("loc")).as("decoded"),
+            lit(null).cast(StringType).as("cexpected"),
+            (col("hdepth") + 2).as("cdepth"),
+            url_defrag(url_unquote2(robotsUri)).as("referer"),
+            col("host").as("smHost"))
+        (Some(robotsRows.unionByName(mapRows)), won.select(col("loc").as("uri")))
+      }
+
+    val kids1All = (Seq(kids1, smLocKids) ++ smVirtualKids.toSeq)
+      .reduce(_ unionByName _)
 
     // idno parity: every scheme-passing link consumes a seq, dups
-    // included (transaction.py:102-115); order = (parent pop, doc order)
-    val kids2 = Ranks.withBoundedRank(kids1, Seq(col("parentPos"), col("childIdx")), "seqRank",
-        col("parentPos"), in.posLo, in.nextPos)
+    // included (transaction.py:102-115); order = (parent pop, doc order;
+    // sitemap virtual pushes first via negative childIdx)
+    val kids2a = Ranks.withBoundedRank(kids1All, Seq(col("parentPos"), col("childIdx")),
+        "seqRank", col("parentPos"), in.posLo, in.nextPos)
       .withColumn("seq", col("seqRank") + in.nextSeq).drop("seqRank")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // sitemap loc links hang off the robots virtual transaction
+    // (push_link(new_map, robots_transaction), robots.py:80): resolve
+    // the robots tx's just-assigned seq as their parentSeq
+    val (kids2b, kids2aCached) =
+      if (world.sitemapsAgg == null) (kids2a, None)
+      else {
+        val kA = kids2a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val robotsSeqs = kA.filter(col("childIdx") === -2000000)
+          .select(col("smHost").as("rHost"), col("seq").as("rseq"))
+        (kA.join(broadcast(robotsSeqs), col("smHost") === col("rHost"), "left")
+          .withColumn("parentSeq",
+            when(col("childIdx") >= -1000000 && col("childIdx") < 0, col("rseq"))
+              .otherwise(col("parentSeq")))
+          .drop("rHost", "rseq"), Some(kA))
+      }
+    val kids2 = kids2b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- dedup: intra-round first-wins + URL-seen bands (D1) ---------
     val firstKids = kids2
@@ -308,15 +479,17 @@ object CrawlRound {
     // ---- next frontier: deferred ∪ accepted, serial-FIFO arrival order
     val defPart = deferred.select(col("pos").as("creatorPos"), lit(0L).as("ci"),
       col("seq"), col("uri"), col("origUri"), col("depth"), col("srcSeq"),
-      col("method"), col("expected"))
+      col("method"), col("expected"), col("referer"))
     val newPart = acceptedC.select(col("parentPos").as("creatorPos"),
       (col("childIdx").cast("long") + 1L).as("ci"), col("seq"), col("canon").as("uri"),
       col("canon").as("origUri"), col("cdepth").as("depth"),
-      col("parentSeq").as("srcSeq"), col("method"), col("cexpected").as("expected"))
+      col("parentSeq").as("srcSeq"), col("method"), col("cexpected").as("expected"),
+      col("referer"))
     val frontierOut = Ranks.withBoundedRank(defPart.unionByName(newPart),
       Seq(col("creatorPos"), col("ci")), "posRank", col("creatorPos"), in.posLo, in.nextPos)
       .withColumn("pos", col("posRank") + in.nextPos)
-      .select("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected")
+      .select("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method",
+        "expected", "referer")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- host politeness state (closed form of the serial recurrence)
@@ -333,6 +506,22 @@ object CrawlRound {
     val hostStateOut = in.hostState.join(succ, Seq("host"), "full")
       .select(col("host"), coalesce(col("newVt"), col("lastVisitS")).as("lastVisitS"))
 
+    // ---- G4 header recording (database.py:254-257): request headers
+    // of DONE-OK transactions — Referer (push-time parent URI),
+    // User-Agent, Accept (net.py:78-79) ------------------------------
+    val headersOut =
+      if (!cfg.recordHeaders)
+        spark.emptyDataFrame.select(lit(0L).as("seq"), lit("").as("hname"),
+          lit("").as("hvalue")).limit(0)
+      else processed.filter(col("fetchClass") === "ok")
+        .select(col("seq"), explode(filter(array(
+          struct(lit("Referer").as("hname"), col("referer").as("hvalue")),
+          struct(lit("User-Agent").as("hname"), lit(cfg.agent).as("hvalue")),
+          struct(lit("Accept").as("hname"),
+            lit(cfg.acceptedTypes.mkString(",")).as("hvalue"))),
+          h => h.getField("hvalue").isNotNull)).as("h"))
+        .select(col("seq"), col("h.hname").as("hname"), col("h.hvalue").as("hvalue"))
+
     // ---- per-partition lineage (A4 / north rule) ----------------------
     def lin(df: DataFrame, metric: String): DataFrame =
       df.groupBy(spark_partition_id().as("partition"))
@@ -346,6 +535,7 @@ object CrawlRound {
 
     RoundOut(frontierOut, acceptedOut, txProcessed, links,
       defects.unionByName(checkerDefects), hostStateOut,
-      dupStateDelta, lineage, cached = Seq(f5c, kids2, acceptedC, frontierOut))
+      dupStateDelta, knownMapsDelta, headersOut, lineage,
+      cached = Seq(f5c, kids2, acceptedC, frontierOut) ++ kids2aCached.toSeq)
   }
 }

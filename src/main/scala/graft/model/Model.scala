@@ -34,6 +34,8 @@ case class RobotsRule(host: String, agent: String, rule: String, path_pref: Stri
   * `doc_id` null => no body (404 path); `redirect_to` non-null for 3xx
   * (single hop; requests follows transparently, net.py:121-123).
   * `detected_mime` models libmagic content sniffing (net.py:220-223).
+  * `canonical_to` non-null models a `Link: <u>; rel="canonical"`
+  * response header (canonical.py:22-28 rewrites the primary URI off it).
   */
 case class UrlMapEntry(
     url: String,
@@ -42,7 +44,8 @@ case class UrlMapEntry(
     redirect_to: String,
     content_type: String,
     content_length: Long,
-    detected_mime: String)
+    detected_mime: String,
+    canonical_to: String = null)
 
 /** Sitemap membership per host (robots.py:72-83 + sitemap_scanner.py). */
 case class SitemapEntry(host: String, loc: String)
@@ -66,7 +69,17 @@ case class CrawlConfig(
       */
     acceptedTypes: Seq[String] = Seq("text/html", "text/css", "application/gzip", "text/plain"),
     /** Max crawl rounds (safety valve for the BSP loop; 0 = unlimited). */
-    maxRounds: Int = 0)
+    maxRounds: Int = 0,
+    /** uri_normalizer filter plugin present (uri_normalizer.py:22-27):
+      * rewrites the primary URI to its normalized form after the
+      * robots gate, before the fetch.
+      */
+    normalizeUris: Boolean = false,
+    /** sitemap_scanner.py:16-17 limits (50 MB / 50,000 records);
+      * configurable so tests can exercise the defects at fixture scale.
+      */
+    sitemapMaxSize: Long = 50000000L,
+    sitemapMaxRecords: Int = 50000)
 
 /** Verification status enum (database.py:54-58 + transaction.py:146). */
 object VerificationStatus {
@@ -119,6 +132,14 @@ case class LinkRow(fromSeq: Long, toUri: String, toSeq: Long, processed: Boolean
   * a first-seen dense id in the report layer (database.py:156-169).
   */
 case class DefectRow(responseSeq: Long, typeName: String, evidence: String, severity: Double)
+
+/** headers fact row (mysql_tables.sql:20-25, database.py:66-71): the
+  * transaction's REQUEST headers — Referer (set at link creation,
+  * transaction.py:174), User-Agent and Accept (set at fetch,
+  * net.py:78-79) — recorded by startChecking for DONE-OK transactions
+  * only, gated by `recordHeaders` (database.py:254-257).
+  */
+case class HeaderRow(seq: Long, name: String, value: String)
 
 /** aliases fact row (mysql_tables.sql:15-18). */
 case class AliasRow(seq: Long, uri: String)

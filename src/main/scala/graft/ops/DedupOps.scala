@@ -35,10 +35,13 @@ object DedupOps {
 
   /** Duplicate groups (dupdet.py shape D4): size-class + hash groups
     * with >1 member; evidence = earliest member (window first).
+    * `hashFn` defaults to the reference's sha512; callers needing an
+    * ANSI-oracle-comparable hash can pass e.g. `functions.md5 _`.
     */
-  def dupGroups(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val h = sha512(col(textCol))
-    df.select(col(idCol), length(col(textCol)).as("len"), h.as("hash"))
+  def dupGroups(df: DataFrame, textCol: String, idCol: String,
+      hashFn: Column => Column = c => sha512(c)): DataFrame = {
+    val h = hashFn(col(textCol))
+    df.select(col(idCol), length(col(textCol)).cast("long").as("len"), h.as("hash"))
       .withColumn("first_id", min(col(idCol)).over(Window.partitionBy(col("hash"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("hash"))))
       .filter(col("n") > 1)
@@ -63,24 +66,39 @@ object DedupOps {
   /** Banded-LSH candidate pairs: split the K-length signature into
     * `bands` bands, bucket-join on (band index, band hash), verify with
     * exact shingle Jaccard ≥ threshold. Returns (idA, idB, jaccard)
-    * with idA < idB. The only join is the per-band bucket equi-join —
-    * shuffle on band hash, never all-pairs.
+    * with idA < idB.
+    *
+    * Scale shape: the band self-join carries ONLY (id, bandHash) — no
+    * shingle arrays ride the shuffle; texts are re-joined by id for the
+    * (tiny) surviving candidate set, where the exact Jaccard verify
+    * runs once per pair. Buckets larger than `bucketCap` rows (shared
+    * boilerplate at corpus scale) are dropped before pairing, bounding
+    * the worst bucket at O(bucketCap²) instead of O(N²).
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
       shingleN: Int = 3, k: Int = 20, bands: Int = 5,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, bucketCap: Int = 5000): DataFrame = {
     val rows = k / bands
-    val sig = df.select(col(idCol).as("id"), shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
-    val banded = sig.select(col("id"), col("sh"),
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val sig = docs.select(col("id"),
+      minhashSignature(shingles(col("__t"), shingleN), k).as("sig"))
+    val banded = sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
-    val l = banded.select(col("band"), col("bandHash"), col("id").as("idA"), col("sh").as("shA"))
-    val r = banded.select(col("band"), col("bandHash"), col("id").as("idB"), col("sh").as("shB"))
+    // one shuffle on (band, bandHash); window reuses that partitioning
+    val capped = banded.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("bandHash"))))
+      .filter(col("__n") > 1 && col("__n") <= bucketCap).drop("__n")
+    val l = capped.select(col("band"), col("bandHash"), col("id").as("idA"))
+    val r = capped.select(col("band"), col("bandHash"), col("id").as("idB"))
     val cand = l.join(r, Seq("band", "bandHash")).filter(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
-    cand.withColumn("jaccard", jaccard(col("shA"), col("shB")))
+      .select("idA", "idB").distinct()
+    cand
+      .join(docs.select(col("id").as("idA"), col("__t").as("__tA")), Seq("idA"))
+      .join(docs.select(col("id").as("idB"), col("__t").as("__tB")), Seq("idB"))
+      .withColumn("jaccard",
+        jaccard(shingles(col("__tA"), shingleN), shingles(col("__tB"), shingleN)))
       .filter(col("jaccard") >= threshold)
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -119,16 +137,21 @@ object DedupOps {
 
   /** SimHash near-dups: bucket on any equal 16-bit chunk (4 bands →
     * catches all pairs with hamming ≤ 3), verify hamming ≤ maxDist.
+    * `bucketCap` bounds mega-buckets (near-identical boilerplate all
+    * sharing a chunk at corpus scale) to O(bucketCap²) pair work.
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, bucketCap: Int = 5000): DataFrame = {
     val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
     val banded = sk.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val l = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("sim").as("simA"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("sim").as("simB"))
+    val capped = banded.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+      .filter(col("__n") > 1 && col("__n") <= bucketCap).drop("__n")
+    val l = capped.select(col("band"), col("chunk"), col("id").as("idA"), col("sim").as("simA"))
+    val r = capped.select(col("band"), col("chunk"), col("id").as("idB"), col("sim").as("simB"))
     l.join(r, Seq("band", "chunk")).filter(col("idA") < col("idB"))
       .dropDuplicates("idA", "idB")
       .withColumn("hamming", hamming64(col("simA"), col("simB")))

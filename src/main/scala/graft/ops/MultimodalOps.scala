@@ -83,5 +83,5 @@ object MultimodalOps {
     */
   def frameSamplePlan(bin: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)),
-      i => (length(bin).cast("long") * i.cast("long") / lit(k.toLong)))
+      i => floor(length(bin).cast("long") * i.cast("long") / lit(k.toLong)).cast("long"))
 }

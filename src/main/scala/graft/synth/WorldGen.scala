@@ -58,7 +58,20 @@ final case class WorldSpec(
     mailEvery: Int = 0,
     /** extra ~40-word text spans per doc (realistic body sizes for
       * benchmarks; 0 keeps the tiny fixture bodies) */
-    heavyText: Int = 0)
+    heavyText: Int = 0,
+    /** every k-th doc's response carries a `Link: rel=canonical` header
+      * (P7, canonical.py:22-28); 0 disables */
+    canonicalHdrEvery: Int = 0,
+    /** every k-th host lists a sitemap in robots.txt (S4/G2/G3/D3/A7);
+      * 0 disables. Every third such sitemap is gzip-compressed. */
+    sitemapEvery: Int = 0,
+    /** every k-th link carries a superfluous :80 port — url_normalize
+      * strips it (P5); without the normalizer it misses the url map */
+    normVariantEvery: Int = 0,
+    /** every k-th host gets agent-scoped robots rules: a disallow for
+      * the configured agent ("Crawlcheck/1.1") under /agent-only plus a
+      * disallow-everything for an UNRELATED agent that must be ignored */
+    agentRuleEvery: Int = 0)
 
 object WorldGen {
 
@@ -129,6 +142,9 @@ object WorldGen {
         ("link", missingUrl(s, pmod(mix(m, 3L), 20).toLong))
       } else if (pmod(m, s.redirectEvery) == 2) {
         ("link", redirectUrl(s, target))
+      } else if (s.normVariantEvery > 0 && pmod(m, s.normVariantEvery) == 3) {
+        // superfluous default port; url_normalize strips it (P5)
+        ("link", docUrl(s, target).replace(".test/", ".test:80/"))
       } else if (pmod(m, s.variantEvery) == 0) {
         // URL variants that canonicalize to the same doc URL
         val base = docUrl(s, target)
@@ -219,10 +235,50 @@ object WorldGen {
   def imgDocOf(s: WorldSpec, i: Long): Doc =
     Doc(imgDocId(i), Seq(Span("media", null, s"blob://img/$i", 0)))
 
+  // ---- sitemap family (S4/G2/G3/D3/A7) ------------------------------
+  def hasSitemap(s: WorldSpec, h: Int): Boolean =
+    s.sitemapEvery > 0 && h % s.sitemapEvery == 0
+  /** every third sitemap host serves it gzip-compressed (S4) */
+  def sitemapGz(s: WorldSpec, h: Int): Boolean = h % (3 * s.sitemapEvery) == 0
+  def sitemapUrl(s: WorldSpec, h: Int): String =
+    s"http://${hostName(h)}/sitemap.xml" + (if (sitemapGz(s, h)) ".gz" else "")
+  def robotsUrl(h: Int): String = s"http://${hostName(h)}/robots.txt"
+  def sitemapDocId(h: Int): String = s"sm$h"
+  /** `<loc>` records of host h's sitemap — may point at other hosts. */
+  def sitemapLocs(s: WorldSpec, h: Int): Seq[String] = {
+    val n = 2 + h % 3
+    (0 until n).map(i =>
+      docUrl(s, pmod(mix(s.seed, 50L, h.toLong, i.toLong), s.nDocs).toLong)).distinct
+  }
+  def sitemapDocOf(s: WorldSpec, h: Int): Doc =
+    Doc(sitemapDocId(h), sitemapLocs(s, h).zipWithIndex.map { case (loc, i) =>
+      Span("sitemap-loc", loc, null, 10 * i)
+    })
+  def sitemapHosts(s: WorldSpec): Seq[Int] =
+    (0 until s.nHosts).filter(h => hasSitemap(s, h))
+  def sitemapEntries(s: WorldSpec): Seq[SitemapEntry] =
+    sitemapHosts(s).map(h => SitemapEntry(hostName(h), sitemapUrl(s, h)))
+  private def sitemapUrlMap(s: WorldSpec): Seq[UrlMapEntry] =
+    sitemapHosts(s).flatMap { h =>
+      val locs = sitemapLocs(s, h)
+      Seq(
+        UrlMapEntry(robotsUrl(h), null, 200, null, "text/plain", 24L, null),
+        UrlMapEntry(sitemapUrl(s, h), sitemapDocId(h), 200, null,
+          if (sitemapGz(s, h)) "application/gzip" else "text/xml",
+          100L + 50L * locs.size, null))
+    }
+
+  /** `Link: <u>; rel="canonical"` response-header target of doc d (P7). */
+  def canonicalHdrOf(s: WorldSpec, d: Long): String =
+    if (s.canonicalHdrEvery > 0 && pmod(mix(s.seed, 35L, d), s.canonicalHdrEvery) == 0)
+      docUrl(s, d) + "?chdr=1"
+    else null
+
   def urlMapEntries(s: WorldSpec): Seq[UrlMapEntry] = {
     val docs = (0L until s.nDocs).map { d =>
       UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
-        100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html")
+        100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html",
+        canonicalHdrOf(s, d))
     }
     val imgs = (0L until nImgs(s)).map { i =>
       val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
@@ -236,7 +292,7 @@ object WorldGen {
     val missing = (0L until 20L).map { k =>
       UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)
     }
-    docs ++ imgs ++ redirects ++ missing
+    docs ++ imgs ++ redirects ++ missing ++ sitemapUrlMap(s)
   }
 
   def hostInfos(s: WorldSpec): Seq[HostInfo] =
@@ -250,8 +306,17 @@ object WorldGen {
 
   def robotsRules(s: WorldSpec): Seq[RobotsRule] =
     (0 until s.nHosts).flatMap { h =>
-      Seq(RobotsRule(hostName(h), "*", "disallow", "/private"),
+      val base = Seq(RobotsRule(hostName(h), "*", "disallow", "/private"),
         RobotsRule(hostName(h), "*", "allow", "/"))
+      val agentScoped =
+        if (s.agentRuleEvery > 0 && h % s.agentRuleEvery == 0)
+          Seq(
+            // applies to the default configured agent (Model.CrawlConfig)
+            RobotsRule(hostName(h), "Crawlcheck/1.1", "disallow", "/p/1"),
+            // an unrelated agent's group — must be IGNORED by the crawl
+            RobotsRule(hostName(h), "OtherBot", "disallow", "/"))
+        else Nil
+      base ++ agentScoped
     }
 
   /** Driver-local world for the serial oracle. */
@@ -259,13 +324,16 @@ object WorldGen {
       docs: Map[String, Doc],
       urlMap: Map[String, UrlMapEntry],
       hosts: Map[String, HostInfo],
-      rules: Seq[RobotsRule])
+      rules: Seq[RobotsRule],
+      sitemaps: Map[String, Seq[String]] = Map.empty)
 
   def localWorld(s: WorldSpec): LocalWorld = {
     val docs = ((0L until s.nDocs).map(d => docId(d) -> docOf(s, d)) ++
-      (0L until nImgs(s)).map(i => imgDocId(i) -> imgDocOf(s, i))).toMap
+      (0L until nImgs(s)).map(i => imgDocId(i) -> imgDocOf(s, i)) ++
+      sitemapHosts(s).map(h => sitemapDocId(h) -> sitemapDocOf(s, h))).toMap
     LocalWorld(docs, urlMapEntries(s).map(e => e.url -> e).toMap,
-      hostInfos(s).map(h => h.host -> h).toMap, robotsRules(s))
+      hostInfos(s).map(h => h.host -> h).toMap, robotsRules(s),
+      sitemapEntries(s).groupBy(_.host).view.mapValues(_.map(_.loc)).toMap)
   }
 
   /** Distributed world: generated with spark.range → map over the same
@@ -275,15 +343,18 @@ object WorldGen {
       docs: Dataset[Doc],
       urlMap: Dataset[UrlMapEntry],
       hosts: Dataset[HostInfo],
-      rules: Dataset[RobotsRule])
+      rules: Dataset[RobotsRule],
+      sitemaps: Dataset[SitemapEntry])
 
   def sparkWorld(spark: SparkSession, s: WorldSpec): SparkWorld = {
     import spark.implicits._
     val docs = spark.range(s.nDocs).map(d => docOf(s, d))
       .union(spark.range(nImgs(s)).map(i => imgDocOf(s, i)))
+      .union(sitemapHosts(s).map(h => sitemapDocOf(s, h)).toDS())
     val urlMap = spark.range(s.nDocs).map(d =>
         UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
-          100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html"))
+          100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html",
+          canonicalHdrOf(s, d)))
       .union(spark.range(nImgs(s)).map { i =>
         val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
         UrlMapEntry(imgUrl(s, i), imgDocId(i), 200, null, "image/png",
@@ -294,7 +365,9 @@ object WorldGen {
         UrlMapEntry(redirectUrl(s, d), null, 301, docUrl(s, d), "text/html", 0L, null)))
       .union(spark.range(20).map(k =>
         UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)))
-    SparkWorld(docs, urlMap, hostInfos(s).toDS(), robotsRules(s).toDS())
+      .union(sitemapUrlMap(s).toDS())
+    SparkWorld(docs, urlMap, hostInfos(s).toDS(), robotsRules(s).toDS(),
+      sitemapEntries(s).toDS())
   }
 
   /** Default seed list: first few doc URLs, including one with a

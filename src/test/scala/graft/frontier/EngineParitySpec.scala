@@ -27,7 +27,8 @@ class EngineParitySpec extends AnyFunSuite {
 
   private def world(spec: WorldSpec): CrawlRound.WorldDF = {
     val w = WorldGen.sparkWorld(spark, spec)
-    CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF())
+    CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF(),
+      if (spec.sitemapEvery > 0) w.sitemaps.toDF() else null)
   }
 
   private def runBoth(spec: WorldSpec, c: CrawlConfig, useBloom: Boolean = true)
@@ -69,16 +70,17 @@ class EngineParitySpec extends AnyFunSuite {
       .groupBy(identity).view.mapValues(_.length).toMap
     assert(gotLinks == expLinks, "link graph mismatch")
 
-    // defects in deterministic order (ties within a phase broken by the
-    // full tuple — e.g. repeated inline-CSS defects on one page)
-    def defectKey(t: (Long, Int, Long, String, Option[String], Double)) =
-      (t._1, t._2, t._4, t._5.getOrElse(""), t._3)
+    // defects including the within-phase emission index `sub` — the
+    // (popPos, phase, sub) triple is the reference's total emission
+    // order, so both sides must agree on it exactly
+    def defectKey(t: (Long, Int, Int, Long, String, Option[String], Double)) =
+      (t._1, t._2, t._3, t._5, t._6.getOrElse(""), t._4)
     val gotDefects = r.defects.collect()
-      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getString(3),
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(6), x.getLong(2), x.getString(3),
         Option(x.getString(4)), x.getDouble(5)))
       .sortBy(defectKey).toVector
     val expDefects = o.defects
-      .map(d => (d.popPos, d.phase, d.defect.responseSeq, d.defect.typeName,
+      .map(d => (d.popPos, d.phase, d.sub, d.defect.responseSeq, d.defect.typeName,
         Option(d.defect.evidence), d.defect.severity))
       .sortBy(defectKey).toVector
     assert(gotDefects == expDefects, "defects mismatch")
@@ -91,6 +93,12 @@ class EngineParitySpec extends AnyFunSuite {
     // politeness host state
     val gotHost = r.hostState.collect().map(x => (x.getString(0), x.getDouble(1))).toMap
     assert(gotHost == o.hostState, "host state mismatch")
+
+    // G4 request-header rows of DONE-OK transactions (multiset)
+    val gotHeaders = r.headers.collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).sorted.toVector
+    val expHeaders = o.headers.map(h => (h.seq, h.name, h.value)).sorted.toVector
+    assert(gotHeaders == expHeaders, "headers mismatch")
   }
 
   private def check(spec: WorldSpec, mutate: CrawlConfig => CrawlConfig = identity): Unit = {
@@ -145,6 +153,36 @@ class EngineParitySpec extends AnyFunSuite {
 
   test("parity: skew-zipf (hot host, salted partitions)") {
     check(WorldSpec("skew-zipf", nHosts = 8, nDocs = 120, hotPct = 40))
+  }
+
+  test("parity: sitemap-family (virtual robots tx, loc pushes, size/record defects)") {
+    check(WorldSpec("sitemap-world", nHosts = 6, nDocs = 40, sitemapEvery = 2),
+      _.copy(acceptedTypes = Seq("text/html", "image/png", "text/plain",
+        "text/xml", "application/gzip"),
+        sitemapMaxSize = 220, sitemapMaxRecords = 2))
+  }
+
+  test("parity: canonical Link response header (P7 primary-URI rewrite)") {
+    check(WorldSpec("canon-hdr", nHosts = 3, nDocs = 30,
+      canonicalHdrEvery = 3, canonicalEvery = 5))
+  }
+
+  test("parity: uri_normalizer rewrites :80 variants (P5)") {
+    check(WorldSpec("norm-world", nHosts = 3, nDocs = 30, normVariantEvery = 2),
+      _.copy(normalizeUris = true))
+  }
+
+  test("parity: :80 variants WITHOUT the normalizer miss the url map") {
+    check(WorldSpec("norm-world", nHosts = 3, nDocs = 30, normVariantEvery = 2))
+  }
+
+  test("parity: agent-scoped robots rules (own group applies, foreign ignored)") {
+    check(WorldSpec("agent-rules", nHosts = 4, nDocs = 40, agentRuleEvery = 2))
+  }
+
+  test("parity: empty uriRegexes = nothing is worth touching") {
+    check(WorldSpec("tiny-chain", nHosts = 1, nDocs = 8, hotPct = 100),
+      _.copy(uriRegexes = Nil))
   }
 
   test("parity holds without the bloom prefilter (exact band alone)") {

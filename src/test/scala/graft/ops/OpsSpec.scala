@@ -85,6 +85,33 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains(7L), s"LSH candidates must recall the identical vector: ${lsh.mkString(",")}")
   }
 
+  test("cosineNearDups finds planted exact copies, skips unrelated vectors") {
+    // 60 pseudo-random 32-dim vectors + exact copies of every 10th
+    val basev = spark.range(60).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(31)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val planted = basev.filter(pmod(col("vec_id"), lit(10)) === 0)
+      .withColumn("vec_id", col("vec_id") + 1000L)
+    val pairs = SimilarityOps.cosineNearDups(basev.unionByName(planted),
+        "embedding", "vec_id", threshold = 0.98)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0L until 60L by 10L).map(i => (i, i + 1000L)).toSet
+    assert(pairs == expected, s"got $pairs")
+  }
+
+  test("bandChunks: identical vectors share every chunk; buckets are 16-bit wide") {
+    val df = Seq((1L, Seq.fill(16)(0.5f)), (2L, Seq.fill(16)(0.5f))).toDF("id", "v")
+    val chunks = df.select(col("id"),
+        explode(SimilarityOps.bandChunks(col("v"), bands = 12, chunkBits = 16)).as("bc"))
+      .select(col("id"), col("bc.band"), col("bc.chunk"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val byId = chunks.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    assert(byId(1L) == byId(2L))
+    assert(chunks.forall(c => c._3 >= 0 && c._3 < (1L << 16)))
+    assert(byId(1L).size == 12)
+  }
+
   test("langId classifies obvious samples and falls back to und") {
     val df = Seq(
       ("the cat and the dog went to the house and it was good", "en"),

@@ -1,0 +1,93 @@
+package graft.report
+
+import graft.frontier.{CrawlDriver, CrawlRound}
+import graft.model._
+import graft.oracle.RefCrawlOracle
+import graft.synth.{WorldGen, WorldSpec}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+/** Report-layer checks (S6/S7, O3/O4, A1 ids, J4 parent lookup) over one
+  * shared tiny crawl, verified against the serial oracle where the
+  * reference defines exact semantics.
+  */
+class ReportSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private lazy val spec = WorldSpec("report-world", nHosts = 3, nDocs = 25,
+    redirectEvery = 4, metaEvery = 2, mailEvery = 5, imgEvery = 3)
+  private lazy val cfg = CrawlConfig(seeds = WorldGen.seeds(spec),
+    acceptedTypes = Seq("text/html", "image/png"))
+  private lazy val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), cfg)
+  private lazy val run: CrawlDriver.CrawlRun = {
+    val w = WorldGen.sparkWorld(spark, spec)
+    val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(),
+      w.hosts.toDF(), w.rules.toDF())
+    CrawlDriver.crawl(spark, world, cfg,
+      Files.createTempDirectory("report-world").toString)
+  }
+
+  test("defectTypes: dense 0-based first-seen ids, one per type") {
+    val rows = Report.defectTypes(run).collect()
+    val ids = rows.map(_.getLong(0)).sorted.toSeq
+    assert(ids == (0L until rows.length.toLong))
+    assert(rows.map(_.getString(1)).distinct.length == rows.length)
+    // first id belongs to the earliest-emitted defect type in the oracle
+    val firstType = oracle.defects.minBy(d => (d.popPos, d.phase, d.sub))
+      .defect.typeName
+    assert(rows.find(_.getLong(0) == 0L).get.getString(1) == firstType)
+  }
+
+  test("invalidLinks (O3) and otherDefects (O4) are ordered as the reference sorts") {
+    val inv = Report.invalidLinks(run).collect()
+      .map(r => (r.getDouble(2), Option(r.getString(3)).getOrElse("")))
+    assert(inv.sameElements(inv.sorted), "invalidLinks must sort by severity, uri")
+    val oth = Report.otherDefects(run).collect()
+      .map(r => (-r.getDouble(3), r.getString(1), Option(r.getString(4)).getOrElse("")))
+    assert(oth.sameElements(oth.sorted), "otherDefects must sort by severity desc, type, uri")
+    assert(inv.nonEmpty && oth.nonEmpty)
+  }
+
+  test("parentIds (J4): first-created processed link per transaction, -1 fallback") {
+    val got = Report.parentIds(run).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = oracle.transactions.values.filter(_.depth > 0).map { t =>
+      val first = oracle.links.filter(l => l.fromSeq == t.seq && l.processed)
+        .map(_.toSeq).sorted.headOption.getOrElse(-1L)
+      t.seq -> first
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("sitemapXml (S6) lists exactly the DONE-OK URIs matching the regex") {
+    val xml = Report.sitemapXml(run, "^http://h00")
+    assert(xml.startsWith("""<?xml version="1.0""""))
+    val okUris = oracle.transactions.values
+      .filter(t => t.verificationStatus == VerificationStatus.DoneOk)
+      .map(_.uri).toSet
+    val listed = "<loc>([^<]*)</loc>".r.findAllMatchIn(xml).map(_.group(1)).toSet
+    assert(listed == okUris.filter(_.startsWith("http://h00")))
+  }
+
+  test("yamlReport (S7) carries all three sections with row counts") {
+    val y = Report.yamlReport(run)
+    assert(y.startsWith("transactions:\n"))
+    assert(y.contains("\nlinks:\n") && y.contains("\ndefects:\n"))
+    val txLines = y.linesIterator.count(_.startsWith("- seq: "))
+    assert(txLines == oracle.transactions.size)
+  }
+
+  test("linkStats (A2) totals match the oracle link multiset") {
+    val r = Report.linkStats(run).head()
+    assert(r.getLong(0) == oracle.links.size.toLong)
+    assert(r.getLong(1) == oracle.links.count(_.processed).toLong)
+  }
+}
