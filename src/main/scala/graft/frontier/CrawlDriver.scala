@@ -85,9 +85,52 @@ object CrawlDriver {
     }
   }
 
+  /** Distributed seed bootstrap for wide frontiers (the 10^10-URL
+    * shape): same semantics as the serial path — every seed consumes a
+    * seq in input order, first occurrence of a canon wins, queue
+    * positions are dense over accepted seeds, urlLimit caps the
+    * accepted count — but computed as Dataset transformations so a
+    * billion-URL seed list never loops on the driver.
+    */
+  private def bootstrapDistributed(spark: SparkSession, cfg: CrawlConfig,
+      store: SnapshotStore): Unit = {
+    import graft.plans.Ranks
+    import graft.url.UrlExpressions._
+    import spark.implicits._
+    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val raw = spark.createDataset(cfg.seeds.zipWithIndex.map { case (u, i) => (i.toLong, u) })
+      .toDF("i", "raw").repartition(parts, col("i"))
+      .withColumn("decoded", url_unquote2(col("raw")))
+      .withColumn("canon", url_defrag(col("decoded")))
+    val first = raw.withColumn("rn",
+        row_number().over(Window.partitionBy(col("canon")).orderBy(col("i"))))
+      .filter(col("rn") === 1).drop("rn")
+    val ranked = Ranks.withGlobalRank(first, Seq(col("i")), "pos")
+    val limited = cfg.urlLimit match {
+      case Some(l) => ranked.filter(col("pos") < l)
+      case None => ranked
+    }
+    val frontier = limited.select(col("i").as("seq"), col("pos"),
+      col("canon").as("uri"), col("canon").as("origUri"), lit(0).as("depth"),
+      lit(-1L).as("srcSeq"), lit("GET").as("method"),
+      lit(null).cast("string").as("expected"), lit(null).cast("string").as("referer"))
+    val accepted = limited.select(col("i").as("seq"), lit("GET").as("method"),
+      col("canon"), col("decoded"), lit(0).as("depth"),
+      lit(null).cast("string").as("expected"))
+    store.writeDelta(-1, asDelta("frontier", -1, frontier)
+      .unionByName(asDelta("accepted", -1, accepted))
+      .unionByName(asDelta("host_state", -1,
+        spark.emptyDataset[HostState].toDF()))
+      .coalesce(parts))
+    val n = store.kindOf(-1, "frontier").count()
+    store.commit(-1, store.Counters(-1, cfg.seeds.size.toLong, n, 0L, n, n),
+      Seq(("seeds", 0, n)))
+  }
+
   /** Seed bootstrap = round "-1": replicates push(createTransaction(seed))
     * for each configured entry point in order (core.py:55-61) — tiny,
-    * driver-side, exactly the oracle's seed path.
+    * driver-side, exactly the oracle's seed path. Seed lists past
+    * `distBootstrapMin` take [[bootstrapDistributed]].
     */
   private def bootstrap(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore): Unit = {
     import spark.implicits._
@@ -133,18 +176,28 @@ object CrawlDriver {
   /** Run (or resume) a crawl; returns a handle over the snapshot dirs. */
   def crawl(spark: SparkSession, world0: CrawlRound.WorldDF, cfg: CrawlConfig,
       checkpointDir: String, useBloom: Boolean = true,
-      bloomMinSeen: Long = 100000L): CrawlRun = {
+      bloomMinSeen: Long = 100000L, distBootstrapMin: Int = 50000): CrawlRun = {
     val store = new SnapshotStore(checkpointDir, spark)
-    if (store.latestCommitted().isEmpty) bootstrap(spark, cfg, store)
+    if (store.latestCommitted().isEmpty) {
+      if (cfg.seeds.size >= distBootstrapMin) bootstrapDistributed(spark, cfg, store)
+      else bootstrap(spark, cfg, store)
+    }
     // round-invariant world prep (redirect-resolved fetch map, robots
     // aggregation), cached once and shared by every round
     val prepped0 = CrawlRound.prepare(world0, cfg)
     val hosts = prepped0.hosts.persist(MEMORY_AND_DISK)
     // one O(1) probe per crawl: delay-free worlds skip politeness joins
     val hasDelays = hosts.filter(col("d").isNotNull).limit(1).count() > 0
+    val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    // static world tables cached PRE-PARTITIONED AND SORTED on their
+    // join keys: every round's sort-merge join against them reuses the
+    // cached partitioning/ordering instead of re-exchanging + re-sorting
+    // the big side each round (the bucketed-table pattern)
     val world = CrawlRound.PreparedWorld(
-      prepped0.docs.persist(MEMORY_AND_DISK),
-      prepped0.fetchMap.persist(MEMORY_AND_DISK),
+      prepped0.docs.repartition(nParts, col("doc_id"))
+        .sortWithinPartitions("doc_id").persist(MEMORY_AND_DISK),
+      prepped0.fetchMap.repartition(nParts, col("url"))
+        .sortWithinPartitions("url").persist(MEMORY_AND_DISK),
       hosts,
       prepped0.rulesAgg.persist(MEMORY_AND_DISK),
       hasDelays,
@@ -161,12 +214,13 @@ object CrawlDriver {
       df.select(col("canon").as("uri"), col("method"), col("seq"))
     def dupSel(df: DataFrame): DataFrame =
       df.select(col("size"), col("bhash"), col("pop"), col("uri"))
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = nParts
     // the frontier parquet is small, so a bare read lands in ~1 input
     // split — an explicit hash repartition keeps the round's narrow
-    // pipeline (URL chain, checks) at full parallelism
+    // pipeline at full parallelism; partitioning on `uri` doubles as
+    // the fetch-join key so the join reuses this exchange
     def frontierSel(df: DataFrame): DataFrame =
-      df.select(frontierCols.map(col): _*).repartition(parts, col("pos"))
+      df.select(frontierCols.map(col): _*).repartition(parts, col("uri"))
     val seenParts = scala.collection.mutable.ArrayBuffer[DataFrame](
       seenSel(store.kindUnion(last, "accepted").get).persist(MEMORY_AND_DISK))
     val dupParts = scala.collection.mutable.ArrayBuffer[DataFrame](

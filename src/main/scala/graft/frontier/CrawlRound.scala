@@ -223,7 +223,15 @@ object CrawlRound {
         when(col("fetchClass") === "ok" && col("ct") === "text/html" &&
           col("spansSorted").isNotNull && !col("defer"),
           Checks.pageDefectsArr(col("spansSorted"))))
-      .drop("doc_id", "spans")
+      // slim the checkpoint row: downstream only needs the link-ish
+      // spans, the body hash (dupdetect key) and the defect array — the
+      // bulk text spans would otherwise dominate checkpoint memory
+      .withColumn("hasSpans", col("spansSorted").isNotNull)
+      .withColumn("bhash0",
+        when(col("spansSorted").isNotNull, xxhash64(Checks.bodyStringCol(col("spansSorted")))))
+      .withColumn("linkSpans", filter(col("spansSorted"),
+        sp => sp.getField("kind").isInCollection(LinkKinds :+ "sitemap-loc")))
+      .drop("doc_id", "spans", "spansSorted", "rrules")
 
     // Every output branches off f5 / kids2 / accepted. f5 is EAGERLY
     // local-checkpointed (not merely persisted): ~8 output branches
@@ -281,9 +289,9 @@ object CrawlRound {
     // ---- checker plugins over OK pages (phases 4..11, Checks) --------
     // dupdetect (D4): vs all earlier OK pages (cross-round state +
     // earlier pops this round) with equal (size, body) and different uri
-    val okDocs = processed.filter(col("fetchClass") === "ok" && col("spansSorted").isNotNull)
+    val okDocs = processed.filter(col("fetchClass") === "ok" && col("hasSpans"))
     val dupCur = okDocs.select(col("pos"), col("seq"), col("uriOk").as("uri"),
-      col("finLen").as("size"), xxhash64(Checks.bodyStringCol(col("spansSorted"))).as("bhash"))
+      col("finLen").as("size"), col("bhash0").as("bhash"))
     val dupStateDelta = dupCur.select(col("size"), col("bhash"), col("pos").as("pop"), col("uri"))
     val priors = in.dupState.unionByName(dupStateDelta)
       .select(col("size"), col("bhash"), col("pop").as("p_pop"), col("uri").as("p_uri"))
@@ -302,8 +310,8 @@ object CrawlRound {
     // :40-44 short-circuits every well-formed urlset and its size check
     // would NameError at :73.
     val smPages = processed.filter(col("fetchClass") === "ok" &&
-        col("ct").isin(ScannerTypes: _*) && col("spansSorted").isNotNull)
-      .withColumn("nlocs", size(filter(col("spansSorted"),
+        col("ct").isin(ScannerTypes: _*) && col("hasSpans"))
+      .withColumn("nlocs", size(filter(col("linkSpans"),
         sp => sp.getField("kind") === "sitemap-loc")))
       .filter(col("nlocs") > 0)
     val sizeFired = col("finLen") > cfg.sitemapMaxSize
@@ -323,11 +331,11 @@ object CrawlRound {
     val kidCols = Seq("parentSeq", "parentPos", "childIdx", "canon", "decoded",
       "cexpected", "cdepth", "referer", "smHost")
     val okHtml = processed.filter(col("fetchClass") === "ok" &&
-      col("ct") === "text/html" && col("spansSorted").isNotNull)
+      col("ct") === "text/html" && col("hasSpans"))
     val kids0 = okHtml.select(
       col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
       col("uriOk").as("base"),
-      posexplode(filter(col("spansSorted"),
+      posexplode(filter(col("linkSpans"),
         s => s.getField("kind").isInCollection(LinkKinds))).as(Seq("childIdx", "span")))
     val kids1 = kids0
       .withColumn("joined", url_join(col("base"), col("span").getField("text")))
@@ -345,11 +353,11 @@ object CrawlRound {
     // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
     // (sitemap_scanner.py:118-124 pushes the <loc> string directly) ----
     val okXml = processed.filter(col("fetchClass") === "ok" &&
-      col("ct").isin(ScannerTypes: _*) && col("spansSorted").isNotNull)
+      col("ct").isin(ScannerTypes: _*) && col("hasSpans"))
     val smLocKids = okXml.select(
         col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
         col("uriOk").as("base"),
-        posexplode(filter(col("spansSorted"),
+        posexplode(filter(col("linkSpans"),
           sp => sp.getField("kind") === "sitemap-loc")).as(Seq("childIdx", "span")))
       .filter(url_scheme(col("span").getField("text")).isin("http", "https"))
       .withColumn("decoded", url_unquote2(col("span").getField("text")))
@@ -524,14 +532,15 @@ object CrawlRound {
 
     // ---- per-partition lineage (A4 / north rule) ----------------------
     def lin(df: DataFrame, metric: String): DataFrame =
-      df.groupBy(spark_partition_id().as("partition"))
-        .agg(count(lit(1)).as("count")).withColumn("metric", lit(metric))
-        .select("metric", "partition", "count")
+      df.select(lit(metric).as("metric"), spark_partition_id().as("partition"))
     val lineage = lin(in.frontier, "frontierIn")
       .unionByName(lin(processed.filter(col("wouldSucceed")), "fetched"))
       .unionByName(lin(kids2, "discovered"))
       .unionByName(lin(acceptedC, "deduped"))
       .unionByName(lin(frontierOut, "frontierOut"))
+      .groupBy(col("metric"), col("partition"))
+      .agg(count(lit(1)).as("count"))
+      .select("metric", "partition", "count")
 
     RoundOut(frontierOut, acceptedOut, txProcessed, links,
       defects.unionByName(checkerDefects), hostStateOut,

@@ -191,6 +191,18 @@ class EngineParitySpec extends AnyFunSuite {
     assertParity(o, r)
   }
 
+  test("distributed bootstrap ≡ serial bootstrap semantics (dups, limit)") {
+    val spec = WorldSpec("two-host-bfs", nHosts = 2, nDocs = 30)
+    // duplicated seeds + a fragment variant that canonicalizes into one
+    val seeds = (0L until 20L).map(d => WorldGen.docUrl(spec, d % 8)) :+
+      (WorldGen.docUrl(spec, 1) + "#frag")
+    val c = cfg(spec).copy(seeds = seeds, urlLimit = Some(18))
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val dir = Files.createTempDirectory("crawl-distboot").toString
+    val run = CrawlDriver.crawl(spark, world(spec), c, dir, distBootstrapMin = 1)
+    assertParity(oracle, run)
+  }
+
   test("resume: killing after round k and resuming yields identical outputs") {
     val spec = WorldSpec("resume-kill", nHosts = 2, nDocs = 30)
     val c = cfg(spec)
