@@ -121,6 +121,14 @@ class SnapshotStore(val root: String, spark: SparkSession) {
     if (rounds.isEmpty) None else Some(rounds.max)
   }
 
+  /** Per-partition lineage rows of a committed round's manifest. */
+  def readLineage(k: Int): Seq[(String, Int, Long)] = {
+    val json = Files.readString(roundDir(k).resolve("MANIFEST.json"))
+    """\{"metric":"([^"]+)","partition":(-?\d+),"count":(-?\d+)\}""".r
+      .findAllMatchIn(json)
+      .map(m => (m.group(1), m.group(2).toInt, m.group(3).toLong)).toSeq
+  }
+
   def readCounters(k: Int): Counters = {
     val json = Files.readString(roundDir(k).resolve("MANIFEST.json"))
     def l(key: String): Long =

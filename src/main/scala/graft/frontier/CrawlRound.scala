@@ -532,14 +532,20 @@ object CrawlRound {
 
     // ---- per-partition lineage (A4 / north rule) ----------------------
     def lin(df: DataFrame, metric: String): DataFrame =
-      df.select(lit(metric).as("metric"), spark_partition_id().as("partition"))
+      df.select(lit(metric).as("metric"), spark_partition_id().as("partition"),
+        lit(1L).as("w"))
+    // A3 volume accounting (core.py:153-179): bytes of processed fetches
+    val volume = processed.filter(col("wouldSucceed"))
+      .select(lit("volumeBytes").as("metric"), spark_partition_id().as("partition"),
+        coalesce(col("finLen"), lit(0L)).as("w"))
     val lineage = lin(in.frontier, "frontierIn")
       .unionByName(lin(processed.filter(col("wouldSucceed")), "fetched"))
       .unionByName(lin(kids2, "discovered"))
       .unionByName(lin(acceptedC, "deduped"))
       .unionByName(lin(frontierOut, "frontierOut"))
+      .unionByName(volume)
       .groupBy(col("metric"), col("partition"))
-      .agg(count(lit(1)).as("count"))
+      .agg(sum(col("w")).as("count"))
       .select("metric", "partition", "count")
 
     RoundOut(frontierOut, acceptedOut, txProcessed, links,

@@ -56,12 +56,19 @@ object DedupOps {
         i => concat_ws(" ", slice(tokens, i + 1, lit(n)))))
   }
 
-  /** MinHash signature: K permutations h_i(x) = xxhash64(x, salt=i);
-    * signature[i] = min over shingles. Pure expressions.
+  /** MinHash signature: K permutations h_i(x) = xxhash64(xxhash64(x), i);
+    * signature[i] = min over shingles. ONE pass over the shingle array
+    * (each shingle string-hashed once, then K cheap long-mixes) — the
+    * naive transform-over-permutations form re-evaluated the whole
+    * shingle expression K times per row, which dominated the round-1
+    * bench.
     */
   def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)), i =>
-      array_min(transform(shingleCol, s => xxhash64(concat(s, i.cast("string"))))))
+    aggregate(
+      transform(shingleCol, s => xxhash64(s)),
+      array_repeat(lit(Long.MaxValue), k),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(k - 1)),
+        (a, i) => least(a, xxhash64(h, i))))
 
   /** Banded-LSH candidate pairs: split the K-length signature into
     * `bands` bands, bucket-join on (band index, band hash), verify with

@@ -65,7 +65,9 @@ object RefCrawlOracle {
       seen: Map[(String, String), Long], // (uri, method) -> first seq
       hostState: Map[String, Double],
       rounds: Int,
-      headers: Vector[HeaderRow] = Vector.empty)
+      headers: Vector[HeaderRow] = Vector.empty,
+      /** A3 (core.py:153-179): Σ content_length of processed fetches. */
+      volumeBytes: Long = 0L)
 
   private final class Item(
       val seq: Long, var pos: Long, var uri: String, val origUri: String,
@@ -86,6 +88,7 @@ object RefCrawlOracle {
     var nextPos = 0L
     var popCounter = 0L
     var seenCount = 0L
+    var volumeBytes = 0L
 
     // canTouch (acceptor.py:32): Python re.match = anchored at start
     val uriRe = cfg.uriRegexes.map(_.r.pattern)
@@ -324,6 +327,7 @@ object RefCrawlOracle {
                       defect(item.seq, "type-mishmash",
                         s"Declared $ct,detected ${entry.detected_mime}", 0.3, 3)
                     vt(host) = fetchTime // markStart (core.py:148-150)
+                    volumeBytes += entry.content_length // A3 (core.py:153)
                     if (ct == "text/html" && doc.isDefined) {
                       val spans = doc.get.spans.sortBy(_.offset)
                       spans.find(_.kind == "canonical").foreach { c =>
@@ -404,6 +408,6 @@ object RefCrawlOracle {
 
     CrawlOutput(crawlOrder.toVector, transactions.toMap, links.toVector,
       defects.toVector, aliasRows.toVector, seen.toMap, vt.toMap, round,
-      headerRows.toVector)
+      headerRows.toVector, volumeBytes)
   }
 }

@@ -99,6 +99,12 @@ class EngineParitySpec extends AnyFunSuite {
       .map(x => (x.getLong(0), x.getString(1), x.getString(2))).sorted.toVector
     val expHeaders = o.headers.map(h => (h.seq, h.name, h.value)).sorted.toVector
     assert(gotHeaders == expHeaders, "headers mismatch")
+
+    // A3 volume accounting: Σ of the per-round volumeBytes lineage rows
+    val gotVolume = (0 to r.lastRound)
+      .flatMap(k => r.store.readLineage(k))
+      .collect { case ("volumeBytes", _, v) => v }.sum
+    assert(gotVolume == o.volumeBytes, s"volume mismatch: $gotVolume vs ${o.volumeBytes}")
   }
 
   private def check(spec: WorldSpec, mutate: CrawlConfig => CrawlConfig = identity): Unit = {
