@@ -229,10 +229,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // MinHash at threshold 0.5 over the natural corpus (rows-only
+    // coverage of near-dup banding)
     "dd_minhash_pairs" -> ((s, dir) =>
       DedupOps.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
         shingleN = 3, k = 20, bands = 5, threshold = 0.5)
         .orderBy(col("idA"), col("idB"))),
+
+    // MinHash pinned by a DuckDB oracle: planted exact copies are the
+    // ONLY jaccard-1.0 pairs (verified: no two distinct driver docs
+    // share a 3-shingle set), and identical signatures always share
+    // every band, so banded LSH recall is exactly 1 here
+    "dd_minhash_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      DedupOps.minhashNearDups(docs.unionByName(planted), "text", "doc_id",
+        shingleN = 3, k = 20, bands = 5, threshold = 1.0)
+        .orderBy(col("idA"), col("idB"))
+    }),
 
     "dd_simhash_pairs" -> ((s, dir) =>
       DedupOps.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
@@ -515,6 +530,10 @@ object SparkEntry {
     "dd_embedding_neardups" ->
       """SELECT vec_id AS idA, vec_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS cos
         |FROM embeddings WHERE vec_id % 50 = 0 ORDER BY idA, idB""".stripMargin,
+
+    "dd_minhash_planted" ->
+      """SELECT doc_id AS idA, doc_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS jaccard
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY idA, idB""".stripMargin,
 
     "tx_token_count" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
