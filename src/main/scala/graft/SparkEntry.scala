@@ -29,7 +29,7 @@ object SparkEntry {
     crawlCache.getOrElse {
       val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
         politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
-        canonicalHdrEvery = 6)
+        canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4)
       val w = WorldGen.sparkWorld(s, spec)
       val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF(),
       if (spec.sitemapEvery > 0) w.sitemaps.toDF() else null)
@@ -279,12 +279,17 @@ object SparkEntry {
     }),
 
     // ================= similarity search =============================
+    // top-k SET compared against DuckDB's list_cosine_similarity: the
+    // output is the sorted id set (not cos-ordered), so ~1e-7 float
+    // discrepancies between engines can't flip the comparison unless
+    // they cross the k-boundary (checked: the 10/11 cosine gap in the
+    // driver data is orders of magnitude wider)
     "ann_brute_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       SimilarityOps.bruteTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
-        .select(col("vec_id"))
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
     "ann_lsh_topk" -> ((s, dir) => {
@@ -407,7 +412,10 @@ object SparkEntry {
         .orderBy(col("seq"))),
     // J4/O5 parent-id enrichment (database.py:439-455)
     "crawl_j4_parent_lookup" -> ((s, _) =>
-      graft.report.Report.parentIds(tinyCrawl(s)).orderBy(col("seq")))
+      graft.report.Report.parentIds(tinyCrawl(s)).orderBy(col("seq"))),
+    // G5/J3 cookies ⋈ transactions (database.py:334-338)
+    "crawl_g5_cookies" -> ((s, _) =>
+      graft.report.Report.cookieReport(tinyCrawl(s)))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -534,6 +542,30 @@ object SparkEntry {
     "dd_minhash_planted" ->
       """SELECT doc_id AS idA, doc_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS jaccard
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY idA, idB""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT doc_id, CASE WHEN len(t) < 2 THEN [array_to_string(t, ' ')]
+        |    ELSE list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1]) END AS s
+        |  FROM tok),
+        |b AS (SELECT list_distinct(s) AS sb FROM sh WHERE doc_id = 0)
+        |SELECT doc_id, round(
+        |  len(list_intersect(list_distinct(s), sb)) * 1.0 /
+        |  len(list_distinct(list_concat(list_distinct(s), sb))), 6) AS jaccard2
+        |FROM sh, b
+        |WHERE len(list_intersect(list_distinct(s), sb)) > 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "ann_brute_topk" ->
+      """SELECT vec_id FROM (
+        |  SELECT e.vec_id,
+        |    list_cosine_similarity(e.embedding,
+        |      (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS cos
+        |  FROM embeddings e WHERE e.vec_id <> 0
+        |  ORDER BY cos DESC, e.vec_id LIMIT 10)
+        |ORDER BY vec_id""".stripMargin,
 
     "tx_token_count" ->
       """SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens

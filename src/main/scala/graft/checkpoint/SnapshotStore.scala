@@ -50,6 +50,10 @@ object SnapshotStore {
     "size" -> LongType, "bhash" -> LongType, "pop" -> LongType,
     // headers (G4)
     "hname" -> StringType, "hvalue" -> StringType,
+    // cookies (G5)
+    "cname" -> StringType, "cvalue" -> StringType,
+    "csecure" -> BooleanType, "chttpOnly" -> BooleanType,
+    "cpath" -> StringType,
     // lineage
     "metric" -> StringType, "partition" -> IntegerType, "count" -> LongType)
 

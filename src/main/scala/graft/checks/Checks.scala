@@ -1,6 +1,6 @@
 package graft.checks
 
-import graft.model.Span
+import graft.model.{CrawlConfig, PluginGate, Span}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * order key (popPos=pos, phase).
   *
   * Phases: 4 dupdetect, 5 seo:huge_internal, 6 seo:duplicit_inline,
-  * 7 meta description, 8 meta keywords, 9 noscript, 10 seoimg, 11 mail.
+  * 7 meta description, 8 meta keywords, 9 noscript, 10 seoimg, 11 mail,
+  * 12 sitemap_scanner (in CrawlRound), 13 non_semantic_html.
   *
   * Declared deviation: dupdetect emits ONE defect per duplicate page,
   * citing the EARLIEST prior page with equal (size, body) and different
@@ -21,6 +22,74 @@ import org.apache.spark.sql.functions._
   * content hash), identically in oracle and engine.
   */
 object Checks {
+
+  /** non_semantic_html presentational-attribute table
+    * (non_semantic_html.py:14-59): per tag, the deprecated attributes in
+    * the plugin's list order (the order its inner loop emits defects).
+    */
+  val despicableAttrs: Map[String, Seq[String]] = Map(
+    "body" -> Seq("alink", "background", "bgcolor", "link", "text", "vlink"),
+    "br" -> Seq("clear"),
+    "caption" -> Seq("align"),
+    "col" -> Seq("align", "char", "charoff", "valign", "width"),
+    "div" -> Seq("align"),
+    "dl" -> Seq("compact"),
+    "hr" -> Seq("align", "noshade", "size", "width"),
+    "h1" -> Seq("align"), "h2" -> Seq("align"), "h3" -> Seq("align"),
+    "h4" -> Seq("align"), "h5" -> Seq("align"), "h6" -> Seq("align"),
+    "iframe" -> Seq("align", "frameborder", "marginheight", "marginwidth", "scrolling"),
+    "input" -> Seq("align"),
+    "img" -> Seq("align", "border", "hspace", "vspace"),
+    "legend" -> Seq("align"),
+    "li" -> Seq("type"),
+    "menu" -> Seq("compact"),
+    "object" -> Seq("align", "border", "hspace", "vspace"),
+    "ol" -> Seq("compact", "type"),
+    "p" -> Seq("align"),
+    "pre" -> Seq("width"),
+    "table" -> Seq("align", "border", "bgcolor", "cellpadding", "cellspacing",
+      "frame", "rules", "width"),
+    "tbody" -> Seq("align", "char", "charoff", "valign"),
+    "thead" -> Seq("align", "char", "charoff", "valign"),
+    "tfoot" -> Seq("align", "char", "charoff", "valign"),
+    "th" -> Seq("align", "bgcolor", "char", "charoff", "height", "nowrap",
+      "valign", "width"),
+    "td" -> Seq("align", "bgcolor", "char", "charoff", "height", "nowrap",
+      "valign", "width"),
+    "tr" -> Seq("align", "bgcolor", "char", "charoff", "valign"),
+    "ul" -> Seq("compact", "type"))
+
+  /** non_semantic_html presentational tags (non_semantic_html.py:61-63). */
+  val despicableTags: Set[String] = Set("i", "b", "u", "basefont", "big",
+    "blink", "center", "font", "marquee", "s", "spacer", "strike", "tt")
+
+  /** F12 per-plugin dispatch gate as a Column (core.py:274-285):
+    * contentType ∈ plugin.contentTypes AND uri matches an anchored
+    * per-plugin regex. The default `.*` regex folds to a constant so
+    * the hot path pays no per-row regex for default configs.
+    */
+  def gateCol(cfg: CrawlConfig, plugin: String, ct: Column, uri: Column): Column =
+    cfg.pluginGates.get(plugin) match {
+      case None => lit(false) // no regexes configured → never accepted
+      case Some(g) =>
+        val ctOk =
+          if (g.contentTypes.contains("*")) lit(true)
+          else ct.isin(g.contentTypes: _*)
+        val uriOk =
+          if (g.uriRegexes == Seq(".*")) lit(true)
+          else g.uriRegexes.map(r => uri.rlike("^(?:" + r + ")"))
+            .reduceOption(_ || _).getOrElse(lit(false))
+        ctOk && uriOk
+    }
+
+  /** Serial twin of [[gateCol]] for the oracle. */
+  def gateLocal(cfg: CrawlConfig, plugin: String, ct: String, uri: String): Boolean =
+    cfg.pluginGates.get(plugin) match {
+      case None => false
+      case Some(g) =>
+        (g.contentTypes.contains("*") || g.contentTypes.contains(ct)) &&
+          g.uriRegexes.exists(r => r.r.pattern.matcher(uri).lookingAt())
+    }
 
   /** Canonical body of a document: its spans in offset order, fields
     * joined with control separators. The dup-detection content key
@@ -60,9 +129,13 @@ object Checks {
     * severity)) as one expression over a sorted spans column — computed
     * once into the round's cached page rows, then exploded by
     * [[pageDefects]] (the heavy expression evaluates exactly once per
-    * page, inside the cache materialization).
+    * page, inside the cache materialization). Each checker's
+    * contribution is individually gated by its F12 (contentTypes ×
+    * uriRegex) dispatch table over (`ct`, `uri`).
     */
-  def pageDefectsArr(sp: Column): Column = {
+  def pageDefectsArr(sp: Column, ct: Column, uri: Column, cfg: CrawlConfig): Column = {
+    def gated(plugin: String, arr: Column): Column =
+      filter(arr, _ => gateCol(cfg, plugin, ct, uri))
     import org.apache.spark.sql.types.StringType
 
     def mk(phase: Int, name: String, evidence: Column, sev: Double): Column =
@@ -134,7 +207,29 @@ object Checks {
       concat(lit("Link: "), s.getField("text"),
         lit(", valid: True (checked SMTP server: False, verified existence: False)")), 0.8)))
 
-    concat(huge, inlineDup, meta, scripts, imgs, mails)
+    // non_semantic_html (non_semantic_html.py:66-90, phase 13 in the
+    // declared plugin order): html-tag spans carry tag name in `text`
+    // and present attributes CSV in `media_ref`; per descendant the
+    // reference emits attribute defects (table list order) then the
+    // deprecated-tag defect
+    val attrTbl = typedLit(despicableAttrs.view.mapValues(_.toArray).toMap)
+    val nonsem = reindex(flatten(transform(ofKind(sp, "html-tag"), s => {
+      val tag = s.getField("text")
+      val present = split(coalesce(s.getField("media_ref"), lit("")), ",")
+      val dAttrs = coalesce(element_at(attrTbl, tag),
+        filter(present, _ => lit(false)))
+      concat(
+        transform(filter(dAttrs, a => array_contains(present, a)),
+          a => mk(13, "nonsem", concat(lit("Attribute "), a, lit(" in tag "), tag), 0.4)),
+        one(tag.isInCollection(despicableTags.toSeq), 13, "nonsem",
+          concat(lit("Tag "), tag), 0.4))
+    })))
+
+    concat(
+      gated("css_scraper", huge), gated("css_scraper", inlineDup),
+      gated("seo_meta", meta), gated("no_script", scripts),
+      gated("seo_images", imgs), gated("mailer", mails),
+      gated("non_semantic_html", nonsem))
   }
 
   /** Mail defect description twin for the oracle. */

@@ -56,6 +56,11 @@ object CrawlDriver {
     /** G4 header fact rows (seq, name, value) of DONE-OK transactions. */
     def headers: DataFrame = unionKind("headers")
       .select(col("seq"), col("hname").as("name"), col("hvalue").as("value"))
+    /** G5 cookie fact rows of 200-fetch transactions (database.py:171-176). */
+    def cookies: DataFrame = unionKind("cookies")
+      .select(col("seq"), col("cname").as("name"), col("cvalue").as("value"),
+        col("csecure").as("secure"), col("chttpOnly").as("httpOnly"),
+        col("cpath").as("path"))
     /** transactions: latest row per seq wins (REQUESTED → DONE-*). */
     def transactions: DataFrame = {
       val requested = accepted.select(col("seq"), col("method"),
@@ -173,11 +178,26 @@ object CrawlDriver {
     bos.toByteArray
   }
 
-  /** Run (or resume) a crawl; returns a handle over the snapshot dirs. */
+  /** Run (or resume) a crawl; returns a handle over the snapshot dirs.
+    *
+    * `compactEvery`: every K rounds the cumulative seen/dup/known-maps
+    * part lists (one cached delta per round) are compacted into a
+    * single checkpointed table — without this, logical-plan size,
+    * per-round analysis time and cached-block count grow O(rounds) and
+    * a deep crawl (hundreds of BSP rounds) re-acquires a linear
+    * per-round fixed cost. Compaction also re-sizes the seen-bloom to
+    * the actual seen count (a fixed-capacity bloom's FP rate → 1 at
+    * 10^10 seen, degrading the prefilter to a no-op).
+    */
   def crawl(spark: SparkSession, world0: CrawlRound.WorldDF, cfg: CrawlConfig,
       checkpointDir: String, useBloom: Boolean = true,
-      bloomMinSeen: Long = 100000L, distBootstrapMin: Int = 50000): CrawlRun = {
+      bloomMinSeen: Long = 100000L, distBootstrapMin: Int = 50000,
+      compactEvery: Int = 8): CrawlRun = {
     val store = new SnapshotStore(checkpointDir, spark)
+    // cluster mode takes reliable per-round checkpoints (CrawlRound f5c)
+    // into the snapshot store's filesystem
+    if (!spark.sparkContext.isLocal && spark.sparkContext.getCheckpointDir.isEmpty)
+      spark.sparkContext.setCheckpointDir(s"$checkpointDir/_rdd_checkpoints")
     if (store.latestCommitted().isEmpty) {
       if (cfg.seeds.size >= distBootstrapMin) bootstrapDistributed(spark, cfg, store)
       else bootstrap(spark, cfg, store)
@@ -241,7 +261,7 @@ object CrawlDriver {
     // ---- incremental seen-bloom (fixed capacity so per-round delta
     // blooms merge bit-for-bit; oversize seen just raises the FP rate,
     // which only costs extra exact-verify work — never correctness) ----
-    val bloomCapacity = math.max(4L * math.max(bloomMinSeen, 1L), 1L << 20)
+    var bloomCapacity = math.max(4L * math.max(bloomMinSeen, 1L), 1L << 20)
     var bloomF: Option[BloomFilter] =
       if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L))
         Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
@@ -267,6 +287,7 @@ object CrawlDriver {
         asDelta("dup_state", round, out.dupStateDelta),
         asDelta("known_maps", round, out.knownMapsDelta),
         asDelta("headers", round, out.headers),
+        asDelta("cookies", round, out.cookies),
         asDelta("lineage", round, out.lineage)
       ).reduce(_ unionByName _).coalesce(parts)
       val tW = System.nanoTime()
@@ -292,7 +313,10 @@ object CrawlDriver {
         popBase = c.popBase + popped,
         seenCount = c.seenCount + acceptedCount,
         frontierCount = frontierCount)
-      store.commit(round, c, lineageRows)
+      val doCompact = compactEvery > 0 && round > 0 &&
+        round % compactEvery == 0 && seenParts.size > 1
+      store.commit(round, c, lineageRows ++
+        (if (doCompact) Seq(("compacted", 0, c.seenCount)) else Nil))
 
       // ---- re-point state at the committed parquet --------------------
       frontier = frontierSel(store.kindOf(round, "frontier"))
@@ -303,8 +327,35 @@ object CrawlDriver {
       mapParts += store.kindOf(round, "known_maps").select(col("uri"))
         .persist(MEMORY_AND_DISK)
 
-      // ---- incremental bloom: merge the round's delta ------------------
-      if (useBloom && acceptedCount > 0) bloomF match {
+      // ---- every K rounds: compact cumulative parts to one table ------
+      var bloomRebuilt = false
+      if (doCompact) {
+        def compact(parts: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit = {
+          // materialize the union into one checkpointed leaf (cached
+          // blocks, truncated lineage), then release the per-round parts
+          val merged = parts.reduce(_ unionByName _).localCheckpoint()
+          parts.foreach(_.unpersist(blocking = false))
+          parts.clear()
+          parts += merged
+        }
+        compact(seenParts); compact(dupParts); compact(mapParts)
+        // bloom re-size: keep capacity ≥ 4× the seen count so the FP
+        // rate stays at design level as the crawl deepens; the rebuild
+        // scans the full (just-compacted) seen table, so it already
+        // contains this round's delta
+        if (useBloom && bloomF.isDefined && c.seenCount > bloomCapacity / 4) {
+          bloomCapacity = 4L * c.seenCount
+          bloomF = Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
+            UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
+          bloomRebuilt = true
+        }
+      }
+
+      // ---- incremental bloom: merge the round's delta (unless a
+      // compaction rebuild above already covers it — a bloom MISSING a
+      // seen key would wrongly bypass the exact anti-join) -------------
+      if (bloomRebuilt) ()
+      else if (useBloom && acceptedCount > 0) bloomF match {
         case Some(b) =>
           b.mergeInPlace(UrlSeen.deserialize(UrlSeen.buildBloom(seenDelta,
             UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))

@@ -48,12 +48,18 @@ object CrawlRound {
 
   private[frontier] val ScannerTypes = Seq("application/gzip", "text/xml", "application/xml")
 
+  private val cookieArrayType =
+    "array<struct<name:string,value:string,secure:boolean,httpOnly:boolean,path:string>>"
+
   def prepare(w: WorldDF, cfg: CrawlConfig): PreparedWorld = {
-    val um = w.urlMap
+    // worlds built before the cookies column existed stay readable
+    val um =
+      if (w.urlMap.columns.contains("cookies")) w.urlMap
+      else w.urlMap.withColumn("cookies", lit(null).cast(cookieArrayType))
     val umT = um.select(col("url").as("t_url"), col("doc_id").as("t_doc_id"),
       col("status").as("t_status"), col("content_type").as("t_ct"),
       col("content_length").as("t_len"), col("detected_mime").as("t_mime"),
-      col("canonical_to").as("t_canon"))
+      col("canonical_to").as("t_canon"), col("cookies").as("t_cookies"))
     val fetchMap = um.join(umT, um("redirect_to") === col("t_url"), "left")
       .withColumn("redirected", col("redirect_to").isNotNull)
       .select(col("url"),
@@ -65,7 +71,8 @@ object CrawlRound {
         when(col("redirected"), col("t_len")).otherwise(col("content_length")).as("finLen"),
         when(col("redirected"), col("t_mime")).otherwise(col("detected_mime")).as("finMime"),
         when(col("redirected"), col("redirect_to")).otherwise(lit(null)).as("redirTarget"),
-        when(col("redirected"), col("t_canon")).otherwise(col("canonical_to")).as("finCanon"))
+        when(col("redirected"), col("t_canon")).otherwise(col("canonical_to")).as("finCanon"),
+        when(col("redirected"), col("t_cookies")).otherwise(col("cookies")).as("finCookies"))
     // agent scoping as the reference's robots parser applies it: the
     // wildcard group plus the configured agent's own group (robots.py
     // via reppy; oracle applies the identical filter)
@@ -104,6 +111,7 @@ object CrawlRound {
       dupStateDelta: DataFrame,
       knownMapsDelta: DataFrame, // uri
       headers: DataFrame, // seq, hname, hvalue (G4; empty if !recordHeaders)
+      cookies: DataFrame, // seq, cname, cvalue, csecure, chttpOnly, cpath (G5)
       lineage: DataFrame, // metric, partition, count
       cached: Seq[DataFrame]) // persisted intermediates; unpersist after commit
 
@@ -216,13 +224,20 @@ object CrawlRound {
       .withColumn("uriHdr",
         when(col("finCanon").isNotNull, url_defrag(col("finCanon")))
           .otherwise(url_defrag(col("finalUrl"))))
+      // the <link rel=canonical> rewrite is part of links_finder's
+      // check (links_finder_plugin.py:38-50) — it only fires when the
+      // F12 gate dispatches links_finder to this page; the gate sees
+      // the pre-rewrite primary uri (uriHdr), like the reference's
+      // accept(transaction, plugin) at dispatch time
       .withColumn("uriOk",
-        when(col("canonSpan").isNotNull, url_defrag(col("canonSpan").getField("text")))
+        when(col("canonSpan").isNotNull &&
+            Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")),
+          url_defrag(col("canonSpan").getField("text")))
           .otherwise(col("uriHdr")))
       .withColumn("defArr",
-        when(col("fetchClass") === "ok" && col("ct") === "text/html" &&
+        when(col("fetchClass") === "ok" &&
           col("spansSorted").isNotNull && !col("defer"),
-          Checks.pageDefectsArr(col("spansSorted"))))
+          Checks.pageDefectsArr(col("spansSorted"), col("ct"), col("uriOk"), cfg)))
       // slim the checkpoint row: downstream only needs the link-ish
       // spans, the body hash (dupdetect key) and the defect array — the
       // bulk text spans would otherwise dominate checkpoint memory
@@ -234,14 +249,19 @@ object CrawlRound {
       .drop("doc_id", "spans", "spansSorted", "rrules")
 
     // Every output branches off f5 / kids2 / accepted. f5 is EAGERLY
-    // local-checkpointed (not merely persisted): ~8 output branches
-    // reference it, and with a plain persist each branch's logical plan
-    // still contains the whole round tree, so the driver re-analyzes/
+    // checkpointed (not merely persisted): ~8 output branches reference
+    // it, and with a plain persist each branch's logical plan still
+    // contains the whole round tree, so the driver re-analyzes/
     // re-optimizes the full DAG per branch — serial time that does not
     // shrink with cores and flattened the round-1 scaling curve. The
-    // checkpoint truncates lineage to a leaf; on a cluster this becomes
-    // a reliable checkpoint to the snapshot store's filesystem.
-    val f5c = f5.localCheckpoint()
+    // checkpoint truncates lineage to a leaf. localCheckpoint lives in
+    // executor block managers (lost on executor failure), so it is only
+    // used in local mode; a cluster run takes a reliable checkpoint to
+    // sparkContext's checkpoint dir (CrawlDriver points it at the
+    // snapshot root).
+    val f5c =
+      if (spark.sparkContext.isLocal) f5.localCheckpoint()
+      else f5.checkpoint()
     val processed = f5c.filter(!col("defer"))
     val deferred = f5c.filter(col("defer"))
       .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method",
@@ -289,7 +309,8 @@ object CrawlRound {
     // ---- checker plugins over OK pages (phases 4..11, Checks) --------
     // dupdetect (D4): vs all earlier OK pages (cross-round state +
     // earlier pops this round) with equal (size, body) and different uri
-    val okDocs = processed.filter(col("fetchClass") === "ok" && col("hasSpans"))
+    val okDocs = processed.filter(col("fetchClass") === "ok" && col("hasSpans") &&
+      Checks.gateCol(cfg, "dupdetect", col("ct"), col("uriOk")))
     val dupCur = okDocs.select(col("pos"), col("seq"), col("uriOk").as("uri"),
       col("finLen").as("size"), col("bhash0").as("bhash"))
     val dupStateDelta = dupCur.select(col("size"), col("bhash"), col("pos").as("pop"), col("uri"))
@@ -310,7 +331,8 @@ object CrawlRound {
     // :40-44 short-circuits every well-formed urlset and its size check
     // would NameError at :73.
     val smPages = processed.filter(col("fetchClass") === "ok" &&
-        col("ct").isin(ScannerTypes: _*) && col("hasSpans"))
+        Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")) &&
+        col("hasSpans"))
       .withColumn("nlocs", size(filter(col("linkSpans"),
         sp => sp.getField("kind") === "sitemap-loc")))
       .filter(col("nlocs") > 0)
@@ -331,7 +353,8 @@ object CrawlRound {
     val kidCols = Seq("parentSeq", "parentPos", "childIdx", "canon", "decoded",
       "cexpected", "cdepth", "referer", "smHost")
     val okHtml = processed.filter(col("fetchClass") === "ok" &&
-      col("ct") === "text/html" && col("hasSpans"))
+      Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")) &&
+      col("hasSpans"))
     val kids0 = okHtml.select(
       col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
       col("uriOk").as("base"),
@@ -353,7 +376,8 @@ object CrawlRound {
     // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
     // (sitemap_scanner.py:118-124 pushes the <loc> string directly) ----
     val okXml = processed.filter(col("fetchClass") === "ok" &&
-      col("ct").isin(ScannerTypes: _*) && col("hasSpans"))
+      Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")) &&
+      col("hasSpans"))
     val smLocKids = okXml.select(
         col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
         col("uriOk").as("base"),
@@ -514,6 +538,15 @@ object CrawlRound {
     val hostStateOut = in.hostState.join(succ, Seq("host"), "full")
       .select(col("host"), coalesce(col("newVt"), col("lastVisitS")).as("lastVisitS"))
 
+    // ---- G5 cookie recording (net.py:126, 209-218): response cookies
+    // of every fetch that reached a 200 — recorded BEFORE accepted-type
+    // filtering, so DONE-IGNORED cttype/toolong/mistyped rows keep theirs
+    val cookiesOut = processed.filter(reached200 && size(col("finCookies")) > 0)
+      .select(col("seq"), explode(col("finCookies")).as("c"))
+      .select(col("seq"), col("c.name").as("cname"), col("c.value").as("cvalue"),
+        col("c.secure").as("csecure"), col("c.httpOnly").as("chttpOnly"),
+        col("c.path").as("cpath"))
+
     // ---- G4 header recording (database.py:254-257): request headers
     // of DONE-OK transactions — Referer (push-time parent URI),
     // User-Agent, Accept (net.py:78-79) ------------------------------
@@ -550,7 +583,7 @@ object CrawlRound {
 
     RoundOut(frontierOut, acceptedOut, txProcessed, links,
       defects.unionByName(checkerDefects), hostStateOut,
-      dupStateDelta, knownMapsDelta, headersOut, lineage,
+      dupStateDelta, knownMapsDelta, headersOut, cookiesOut, lineage,
       cached = Seq(f5c, kids2, acceptedC, frontierOut) ++ kids2aCached.toSeq)
   }
 }

@@ -30,6 +30,21 @@ case class HostInfo(host: String, crawl_delay_s: Option[Double], zipf_rank: Int)
   */
 case class RobotsRule(host: String, agent: String, rule: String, path_pref: String)
 
+/** One response cookie of a 200 fetch (net.py:209-218 __store_cookies;
+  * journal.gotCookie → cookies table, mysql_tables.sql:56-64).
+  */
+case class Cookie(name: String, value: String, secure: Boolean,
+    httpOnly: Boolean, path: String)
+
+/** cookies fact row (mysql_tables.sql:56-64, database.py:171-176):
+  * recorded for every transaction whose fetch reached a 200 response
+  * (__process_link runs __store_cookies after the status gate and CT
+  * extraction, BEFORE accepted-type filtering — so ignored-type
+  * transactions still log their cookies).
+  */
+case class CookieRow(seq: Long, name: String, value: String, secure: Boolean,
+    httpOnly: Boolean, path: String)
+
 /** Fetch resolution table — replaces live HTTP (net.py:65-128).
   * `doc_id` null => no body (404 path); `redirect_to` non-null for 3xx
   * (single hop; requests follows transparently, net.py:121-123).
@@ -45,10 +60,41 @@ case class UrlMapEntry(
     content_type: String,
     content_length: Long,
     detected_mime: String,
-    canonical_to: String = null)
+    canonical_to: String = null,
+    /** response cookies of THIS entry (for a redirect, the engine and
+      * oracle both record the TARGET entry's cookies — the final
+      * response's jar, matching requests' transparent redirects) */
+    cookies: Seq[Cookie] = Nil)
 
 /** Sitemap membership per host (robots.py:72-83 + sitemap_scanner.py). */
 case class SitemapEntry(host: String, loc: String)
+
+/** Per-plugin acceptor gate (F12, core.py:274-285 + acceptor.py:28-54):
+  * a plugin checks a transaction iff the content-type is in its
+  * `contentTypes` ("*" = every type, dupdet.py's acceptType=True) AND
+  * the transaction's uri matches one of its `uriRegexes` (Python
+  * re.match ⇒ anchored at start). An EMPTY regex list disables the
+  * plugin — RegexAcceptor.accept returns False for a plugin with no
+  * configured regexes (acceptor.py:38-43).
+  */
+case class PluginGate(contentTypes: Seq[String], uriRegexes: Seq[String] = Seq(".*"))
+
+object PluginGate {
+  /** Defaults = each reference plugin's declared contentTypes with
+    * accept-all URIs (the sample config's `.*`).
+    */
+  val defaults: Map[String, PluginGate] = Map(
+    "dupdetect" -> PluginGate(Seq("*")), // dupdet.py acceptType always True
+    "css_scraper" -> PluginGate(Seq("text/html")),
+    "seo_meta" -> PluginGate(Seq("text/html")),
+    "no_script" -> PluginGate(Seq("text/html")),
+    "seo_images" -> PluginGate(Seq("text/html")),
+    "mailer" -> PluginGate(Seq("text/html")),
+    "non_semantic_html" -> PluginGate(Seq("text/html")),
+    "links_finder" -> PluginGate(Seq("text/html")),
+    "sitemap_scanner" -> PluginGate(
+      Seq("application/gzip", "text/xml", "application/xml")))
+}
 
 /** Crawl configuration; defaults mirror configLoader.py:44-53. */
 case class CrawlConfig(
@@ -79,7 +125,11 @@ case class CrawlConfig(
       * configurable so tests can exercise the defects at fixture scale.
       */
     sitemapMaxSize: Long = 50000000L,
-    sitemapMaxRecords: Int = 50000)
+    sitemapMaxRecords: Int = 50000,
+    /** F12 per-plugin (contentTypes × uriRegex) dispatch tables;
+      * defaults reproduce the reference plugins' declared gates.
+      */
+    pluginGates: Map[String, PluginGate] = PluginGate.defaults)
 
 /** Verification status enum (database.py:54-58 + transaction.py:146). */
 object VerificationStatus {

@@ -82,17 +82,38 @@ object DedupOps {
     * boilerplate at corpus scale) are dropped before pairing, bounding
     * the worst bucket at O(bucketCap²) instead of O(N²).
     */
-  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      shingleN: Int = 3, k: Int = 20, bands: Int = 5,
-      threshold: Double = 0.8, bucketCap: Int = 5000): DataFrame = {
+  /** The banded-signature rows (id, band, bandHash) behind
+    * [[minhashNearDups]]; exposed so [[droppedBuckets]] can report the
+    * over-cap buckets excluded from pairing (the "no silent caps" rule).
+    */
+  def minhashBanded(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 20, bands: Int = 5): DataFrame = {
     val rows = k / bands
-    val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
-    val sig = docs.select(col("id"),
-      minhashSignature(shingles(col("__t"), shingleN), k).as("sig"))
-    val banded = sig.select(col("id"),
+    val sig = df.select(col(idCol).as("id"),
+      minhashSignature(shingles(col(textCol), shingleN), k).as("sig"))
+    sig.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows)))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bandHash")
+  }
+
+  /** Buckets of a banded structure that exceed `bucketCap` — the rows a
+    * capped near-dup pass EXCLUDES from pairing. At corpus scale an
+    * over-cap bucket is shared boilerplate whose O(n²) pairing would
+    * stall the job; it is dropped, and this accessor makes the drop
+    * observable (count / log it next to the pair output) instead of
+    * silent. Returns (band, bucket key, n) per dropped bucket.
+    */
+  def droppedBuckets(banded: DataFrame, bucketCap: Int,
+      keyCols: Seq[String] = Seq("band", "bandHash")): DataFrame =
+    banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("n"))
+      .filter(col("n") > bucketCap)
+
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      shingleN: Int = 3, k: Int = 20, bands: Int = 5,
+      threshold: Double = 0.8, bucketCap: Int = 5000): DataFrame = {
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("__t"))
+    val banded = minhashBanded(df, textCol, idCol, shingleN, k, bands)
     // one shuffle on (band, bandHash); window reuses that partitioning
     val capped = banded.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("bandHash"))))
@@ -147,13 +168,20 @@ object DedupOps {
     * `bucketCap` bounds mega-buckets (near-identical boilerplate all
     * sharing a chunk at corpus scale) to O(bucketCap²) pair work.
     */
-  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-      maxDist: Int = 3, bucketCap: Int = 5000): DataFrame = {
+  /** The banded sketch rows behind [[simhashNearDups]] (for
+    * [[droppedBuckets]] with keyCols band/chunk).
+    */
+  def simhashBanded(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val sk = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sim"))
-    val banded = sk.select(col("id"), col("sim"),
+    sk.select(col("id"), col("sim"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sim"), b * 16).bitwiseAND(0xffffL))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+  }
+
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+      maxDist: Int = 3, bucketCap: Int = 5000): DataFrame = {
+    val banded = simhashBanded(df, textCol, idCol)
     val capped = banded.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
       .filter(col("__n") > 1 && col("__n") <= bucketCap).drop("__n")

@@ -78,14 +78,18 @@ object SimilarityOps {
         }).as("chunk")))
 
   /** LSH top-k: candidates share ≥1 of the `bands` sketch chunks with
-    * the query; exact cosine re-ranks the candidates. With 8-bit chunks
-    * a random vector matches the query in a band with p = 1/256, so
-    * candidates ≈ N·bands/256 ≪ N; recall for high-cosine targets stays
-    * ≥ ~99% (p_band = cos-angle-match^8 ≈ 0.5 at cos 0.97, across 8
-    * bands). At 10^10 vectors the bucket join replaces the full scan.
+    * the query; exact cosine re-ranks the candidates. With 16-bit
+    * chunks a random vector matches the query in a band with p ≈
+    * 2^-16·(sign correlation), so candidates ≈ N·bands/65536 ≪ N — an
+    * index, not a partial scan (the former 8-bit default matched ~N/256
+    * per band ≈ N/32 candidates total, a 32× scan reduction that would
+    * still touch 3·10^8 rows at 10^10 scale). Recall for high-cosine
+    * targets: p_band ≈ (1 − θ/π)^16 ≈ 0.37 at cos 0.97, so across 16
+    * bands P(≥1 hit) ≈ 1 − 0.63^16 ≈ 99.9%; exact duplicates always
+    * collide. At 10^10 vectors the bucket join replaces the full scan.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Float], k: Int, bands: Int = 8, chunkBits: Int = 8): DataFrame = {
+      query: Seq[Float], k: Int, bands: Int = 16, chunkBits: Int = 16): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val qSketch = Seq(query).toDF("v")
@@ -111,13 +115,20 @@ object SimilarityOps {
     * band shuffle — candidates re-join them by id; `bucketCap` bounds
     * degenerate buckets (e.g. all-zero vectors).
     */
+  /** The banded sketch rows behind [[cosineNearDups]] (for
+    * DedupOps.droppedBuckets with keyCols band/chunk).
+    */
+  def cosineBanded(df: DataFrame, vecCol: String, idCol: String,
+      bands: Int = 12, chunkBits: Int = 16): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(bandChunks(col(vecCol), bands, chunkBits)).as("bc"))
+      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+
   def cosineNearDups(df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, bands: Int = 12, chunkBits: Int = 16,
       bucketCap: Int = 5000): DataFrame = {
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-    val banded = vecs.select(col("id"),
-        explode(bandChunks(col("v"), bands, chunkBits)).as("bc"))
-      .select(col("id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val banded = cosineBanded(df, vecCol, idCol, bands, chunkBits)
     val capped = banded.withColumn("__n",
         count(lit(1)).over(Window.partitionBy(col("band"), col("chunk"))))
       .filter(col("__n") > 1 && col("__n") <= bucketCap).drop("__n")

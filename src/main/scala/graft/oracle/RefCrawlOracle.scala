@@ -67,7 +67,9 @@ object RefCrawlOracle {
       rounds: Int,
       headers: Vector[HeaderRow] = Vector.empty,
       /** A3 (core.py:153-179): Σ content_length of processed fetches. */
-      volumeBytes: Long = 0L)
+      volumeBytes: Long = 0L,
+      /** G5 (net.py:209-218): response cookies of every 200 fetch. */
+      cookies: Vector[CookieRow] = Vector.empty)
 
   private final class Item(
       val seq: Long, var pos: Long, var uri: String, val origUri: String,
@@ -81,6 +83,7 @@ object RefCrawlOracle {
     val defects = mutable.ArrayBuffer.empty[OrderedDefect]
     val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
     val headerRows = mutable.ArrayBuffer.empty[HeaderRow]
+    val cookieRows = mutable.ArrayBuffer.empty[CookieRow]
     val knownMaps = mutable.HashSet.empty[String] // D3 (robots.py:72-83)
     val crawlOrder = mutable.ArrayBuffer.empty[(Long, Long, String)]
     val vt = mutable.HashMap.empty[String, Double]
@@ -116,15 +119,20 @@ object RefCrawlOracle {
       */
     def runCheckers(doc: Doc, item: Item, ct: String, entry: UrlMapEntry,
         defect: (Long, String, String, Double, Int) => Unit, myPop: Long): Unit = {
+      // F12 per-plugin dispatch (core.py:274-285): contentTypes × uri
+      // regex, identical gate as the engine's Checks.gateCol
+      def on(plugin: String): Boolean =
+        graft.checks.Checks.gateLocal(cfg, plugin, ct, item.uri)
       val spans = doc.spans.sortBy(_.offset)
-      // dupdetect (phase 4) — every content type (dupdet acceptType=true)
-      val key = (entry.content_length, graft.checks.Checks.bodyString(doc.spans))
-      val priors = dupPriors.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
-      priors.find(_._2 != item.uri).foreach { case (_, puri) =>
-        defect(item.seq, "dup", puri, 0.7, 4)
+      if (on("dupdetect")) { // phase 4 — dupdet acceptType=true (all CTs)
+        val key = (entry.content_length, graft.checks.Checks.bodyString(doc.spans))
+        val priors = dupPriors.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
+        priors.find(_._2 != item.uri).foreach { case (_, puri) =>
+          defect(item.seq, "dup", puri, 0.7, 4)
+        }
+        priors += ((myPop, item.uri))
       }
-      priors += ((myPop, item.uri))
-      if (ct == "text/html") {
+      if (on("css_scraper")) {
         spans.find(_.kind == "css-int").foreach { c => // css_scraper internal (5)
           val len = Option(c.text).getOrElse("").getBytes("UTF-8").length
           if (len > 1024) defect(item.seq, "seo:huge_internal", len.toString, 0.5, 5)
@@ -135,25 +143,48 @@ object RefCrawlOracle {
             defect(item.seq, "seo:duplicit_inline", sp.text, 0.1, 6)
           else seenStyles += sp.text
         }
+      }
+      if (on("seo_meta")) {
         val nDesc = spans.count(sp => sp.kind == "meta" && sp.text == "description")
         if (nDesc == 0) defect(item.seq, "seo:nodsc", "", 0.4, 7)
         else if (nDesc > 1) defect(item.seq, "seo:multidsc", nDesc.toString, 0.4, 7)
         val nKeys = spans.count(sp => sp.kind == "meta" && sp.text == "keywords")
         if (nKeys == 0) defect(item.seq, "seo:nokeys", "", 0.4, 8)
         else if (nKeys > 1) defect(item.seq, "seo:multikeys", nKeys.toString, 0.4, 8)
+      }
+      if (on("no_script")) {
         for (sp <- spans if sp.kind == "script") { // no_script (9)
           if (!sp.text.contains("noscript"))
             defect(item.seq, "noscript-miss", "Script: " + sp.text, 0.7, 9)
           if (!sp.text.contains("comment"))
             defect(item.seq, "script-no-comment", "Script: " + sp.text, 0.4, 9)
         }
+      }
+      if (on("seo_images")) {
         for (sp <- spans if sp.kind == "img") { // seo_images (10)
           val flags = Option(sp.media_ref).getOrElse("")
           if (!flags.contains("w")) defect(item.seq, "seo:img:nowidth", sp.text, 0.6, 10)
           if (!flags.contains("h")) defect(item.seq, "seo:img:noheight", sp.text, 0.6, 10)
         }
+      }
+      if (on("mailer")) {
         for (sp <- spans if sp.kind == "mail") // mailer (11)
           defect(item.seq, "mail", graft.checks.Checks.mailEvidence(sp.text), 0.8, 11)
+      }
+      if (on("non_semantic_html")) {
+        // non_semantic_html (non_semantic_html.py:66-90, phase 13):
+        // per descendant, attribute defects in table order, then the
+        // deprecated-tag defect
+        for (sp <- spans if sp.kind == "html-tag") {
+          val tag = sp.text
+          val present = Option(sp.media_ref).getOrElse("")
+            .split(",").filter(_.nonEmpty).toSet
+          for (a <- graft.checks.Checks.despicableAttrs.getOrElse(tag, Nil)
+               if present(a))
+            defect(item.seq, "nonsem", s"Attribute $a in tag $tag", 0.4, 13)
+          if (graft.checks.Checks.despicableTags(tag))
+            defect(item.seq, "nonsem", s"Tag $tag", 0.4, 13)
+        }
       }
     }
 
@@ -256,11 +287,14 @@ object RefCrawlOracle {
               val (rSeq, rCanon, rDepth, rItem) =
                 pushVirtual(s"http://$host/robots.txt", item.depth + 1, item.seq)
               rItem.foreach(r => next += ((item.pos, -2000000L, r)))
-              for ((loc, j) <- newLocs.zipWithIndex) {
-                if (Set("http", "https")(UrlFuncs.scheme(loc)))
-                  push(loc, rDepth + 1, rSeq, None, hasParent = true, referer = rCanon)
-                    .foreach(child => next += ((item.pos, -1000000L + j, child)))
-              }
+              // push_link (transaction.py:163-175) has NO scheme filter:
+              // every declared sitemap loc consumes a seq and gets a link
+              // row; a non-http(s) loc is dropped later at fetch time
+              // (net.py:54-62 → DONE-IGNORED). The sitemap_scanner <loc>
+              // path below DOES filter (sitemap_scanner.py:62-64).
+              for ((loc, j) <- newLocs.zipWithIndex)
+                push(loc, rDepth + 1, rSeq, None, hasParent = true, referer = rCanon)
+                  .foreach(child => next += ((item.pos, -1000000L + j, child)))
               knownMaps ++= locs
             }
           }
@@ -313,6 +347,11 @@ object RefCrawlOracle {
                   val rawCt = Option(entry.content_type).getOrElse("")
                   if (rawCt.trim.isEmpty) defect(item.seq, "badtype", null, 0.5, 1)
                   val ct = if (rawCt.contains(';')) rawCt.split(";")(0) else rawCt
+                  // G5 __store_cookies (net.py:126, 209-218): runs right
+                  // after __getCT, BEFORE accepted-type filtering
+                  for (c <- entry.cookies)
+                    cookieRows += CookieRow(item.seq, c.name, c.value,
+                      c.secure, c.httpOnly, c.path)
                   if (!cfg.acceptedTypes.contains(ct)) {
                     finishRaw(VerificationStatus.DoneIgnored)
                   } else if (cfg.maxContentLength.exists(entry.content_length > _)) {
@@ -328,7 +367,8 @@ object RefCrawlOracle {
                         s"Declared $ct,detected ${entry.detected_mime}", 0.3, 3)
                     vt(host) = fetchTime // markStart (core.py:148-150)
                     volumeBytes += entry.content_length // A3 (core.py:153)
-                    if (ct == "text/html" && doc.isDefined) {
+                    if (graft.checks.Checks.gateLocal(cfg, "links_finder", ct, item.uri)
+                        && doc.isDefined) {
                       val spans = doc.get.spans.sortBy(_.offset)
                       spans.find(_.kind == "canonical").foreach { c =>
                         item.uri = UrlFuncs.defrag(c.text)
@@ -355,7 +395,7 @@ object RefCrawlOracle {
                     // 40-44 short-circuits on every well-formed urlset,
                     // and its size check would NameError at :73), (b) it
                     // runs after the checkers in plugin order (phase 12).
-                    if (Set("application/gzip", "text/xml", "application/xml")(ct)
+                    if (graft.checks.Checks.gateLocal(cfg, "sitemap_scanner", ct, item.uri)
                         && doc.isDefined) {
                       val locs = doc.get.spans.filter(_.kind == "sitemap-loc")
                         .sortBy(_.offset)
@@ -408,6 +448,6 @@ object RefCrawlOracle {
 
     CrawlOutput(crawlOrder.toVector, transactions.toMap, links.toVector,
       defects.toVector, aliasRows.toVector, seen.toMap, vt.toMap, round,
-      headerRows.toVector, volumeBytes)
+      headerRows.toVector, volumeBytes, cookieRows.toVector)
   }
 }

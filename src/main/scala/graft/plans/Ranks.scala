@@ -32,10 +32,14 @@ object Ranks {
       ((bucketKey - lo) * p / span))).cast("int")
     val parted = df.withColumn("__gr_pid", bucket)
       .repartition(p, col("__gr_pid"))
+    // ≤ P rows: an explicit constant partition key keeps the prefix-sum
+    // window single-partition BY DECLARATION (it is tiny by construction)
+    // instead of tripping WindowExec's no-partition warning on every round
     val offsets = parted.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_cnt")).over(
-          Window.orderBy(col("__gr_pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy(lit(0)).orderBy(col("__gr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gr_pid"), col("__gr_off"))
     parted
       .join(broadcast(offsets), "__gr_pid")
@@ -57,10 +61,14 @@ object Ranks {
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
     // per-partition offsets: P rows — broadcast join, no second big shuffle
+    // ≤ P rows: an explicit constant partition key keeps the prefix-sum
+    // window single-partition BY DECLARATION (it is tiny by construction)
+    // instead of tripping WindowExec's no-partition warning on every round
     val offsets = parted.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_cnt")).over(
-          Window.orderBy(col("__gr_pid")).rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          Window.partitionBy(lit(0)).orderBy(col("__gr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gr_pid"), col("__gr_off"))
     parted
       .join(broadcast(offsets), "__gr_pid")

@@ -23,7 +23,8 @@ object Report {
     run.defects
       .groupBy(col("typeName"))
       .agg(min(struct(col("popPos"), col("phase"), col("sub"))).as("firstSeen"))
-      .withColumn("id", row_number().over(Window.orderBy(col("firstSeen"))).cast("long") - 1)
+      .withColumn("id", row_number().over(
+        Window.partitionBy(lit(0)).orderBy(col("firstSeen"))).cast("long") - 1)
       .select(col("id"), col("typeName").as("type"))
   }
 
@@ -85,23 +86,37 @@ object Report {
 
   /** J4/O5 parent-id enrichment (database.py:439-455): for every
     * transaction of depth > 0, the reference runs
-    * `SELECT responseId FROM link WHERE requestId=? AND processed LIMIT 1`
-    * — i.e. the FIRST-CREATED processed link row keyed by the
-    * transaction's seq; −1 when none. First-created ≡ smallest toSeq
-    * (link seqs are assigned in creation order), which makes the
-    * reference's un-ordered LIMIT 1 deterministic here.
+    * `SELECT responseId FROM link WHERE requestId=? AND processed LIMIT 1`.
+    * log_link stores requestId = new_id (the CHILD) and responseId =
+    * parent_id (database.py:90,150-154), so the lookup is keyed on the
+    * CHILD side: the processed link whose toSeq == t.seq yields t's
+    * parent (its fromSeq); −1 when none. toSeq is unique across link
+    * rows (every created transaction consumes a fresh idno), so the
+    * reference's un-ordered LIMIT 1 is deterministic; min(fromSeq) is a
+    * defensive tie-break only.
     */
   def parentIds(run: CrawlRun): DataFrame = {
-    val firstProcessed = run.linksWithProcessed.filter(col("processed"))
-      .groupBy(col("fromSeq")).agg(min(col("toSeq")).as("firstChild"))
+    val creating = run.linksWithProcessed.filter(col("processed"))
+      .groupBy(col("toSeq")).agg(min(col("fromSeq")).as("parentSeq"))
     run.transactions.filter(col("depth") > 0)
-      .join(firstProcessed, col("seq") === col("fromSeq"), "left")
-      .select(col("seq"), coalesce(col("firstChild"), lit(-1L)).as("parentId"))
+      .join(creating, col("seq") === col("toSeq"), "left")
+      .select(col("seq"), coalesce(col("parentSeq"), lit(-1L)).as("parentId"))
   }
 
   /** G4 headers per transaction (database.py:66-71 log_header view). */
   def headerReport(run: CrawlRun): DataFrame =
     run.headers.orderBy(col("seq"), col("name"))
+
+  /** J3 cookies ⋈ transactions (database.py:334-338 get_cookies):
+    * `SELECT transactions.uri, cookies.name, cookies.value FROM cookies
+    *  INNER JOIN transactions ON cookies.responseId = transactions.id`.
+    */
+  def cookieReport(run: CrawlRun): DataFrame = {
+    val tx = run.transactions.select(col("seq"), col("uri"))
+    run.cookies.join(tx, Seq("seq"))
+      .select(col("uri"), col("name"), col("value"))
+      .orderBy(col("uri"), col("name"), col("value"))
+  }
 
   /** J5 aliases per transaction as an array column (database.py:456-458). */
   def aliasesPerTransaction(run: CrawlRun): DataFrame =

@@ -71,7 +71,19 @@ final case class WorldSpec(
     /** every k-th host gets agent-scoped robots rules: a disallow for
       * the configured agent ("Crawlcheck/1.1") under /agent-only plus a
       * disallow-everything for an UNRELATED agent that must be ignored */
-    agentRuleEvery: Int = 0)
+    agentRuleEvery: Int = 0,
+    /** every k-th SITEMAP host additionally declares a non-http(s)
+      * (ftp://) sitemap loc in robots.txt — push_link has no scheme
+      * filter (transaction.py:163-175), so the loc consumes a seq, gets
+      * a link row, and dies DONE-IGNORED at fetch; 0 disables */
+    sitemapAltEvery: Int = 0,
+    /** every k-th doc's 200 response sets deterministic cookies (G5,
+      * net.py:209-218); 0 disables */
+    cookieEvery: Int = 0,
+    /** every k-th doc carries html-tag spans exercising the
+      * non_semantic_html checker (deprecated tags/attributes,
+      * non_semantic_html.py); 0 disables */
+    nonsemEvery: Int = 0)
 
 object WorldGen {
 
@@ -227,6 +239,22 @@ object WorldGen {
       buf += Span("mail", s"user${pmod(mix(s.seed, 33L, d), 50)}@example.test", null, o2)
       o2 += 10
     }
+    if (s.nonsemEvery > 0 && pmod(mix(s.seed, 43L, d), s.nonsemEvery) == 0) {
+      // html-tag spans: text = tag, media_ref = CSV of present attrs;
+      // mixes deprecated tags, deprecated attrs, and clean descendants
+      val n = 1 + pmod(mix(s.seed, 44L, d), 3)
+      for (i <- 0 until n) {
+        val (tag, attrs) = pmod(mix(s.seed, 45L, d, i.toLong), 6) match {
+          case 0 => ("center", null) // deprecated tag, no attrs
+          case 1 => ("table", "align,width,id") // two deprecated attrs + clean
+          case 2 => ("p", "align") // one deprecated attr
+          case 3 => ("b", "class") // deprecated tag with clean attr
+          case 4 => ("div", "id") // clean: div's only bad attr is align
+          case _ => ("span", "class") // fully clean descendant
+        }
+        buf += Span("html-tag", tag, attrs, o2); o2 += 10
+      }
+    }
     buf.reverse.toSeq // stored order != document order, deliberately
   }
 
@@ -257,7 +285,14 @@ object WorldGen {
   def sitemapHosts(s: WorldSpec): Seq[Int] =
     (0 until s.nHosts).filter(h => hasSitemap(s, h))
   def sitemapEntries(s: WorldSpec): Seq[SitemapEntry] =
-    sitemapHosts(s).map(h => SitemapEntry(hostName(h), sitemapUrl(s, h)))
+    sitemapHosts(s).flatMap { h =>
+      val base = SitemapEntry(hostName(h), sitemapUrl(s, h))
+      if (s.sitemapAltEvery > 0 && h % s.sitemapAltEvery == 0)
+        // robots-declared loc with a non-http scheme: pushed anyway
+        // (no scheme filter at push), DONE-IGNORED at fetch
+        Seq(base, SitemapEntry(hostName(h), s"ftp://${hostName(h)}/sitemap-alt.xml"))
+      else Seq(base)
+    }
   private def sitemapUrlMap(s: WorldSpec): Seq[UrlMapEntry] =
     sitemapHosts(s).flatMap { h =>
       val locs = sitemapLocs(s, h)
@@ -267,6 +302,18 @@ object WorldGen {
           if (sitemapGz(s, h)) "application/gzip" else "text/xml",
           100L + 50L * locs.size, null))
     }
+
+  /** Response cookies of doc d's 200 response (G5, net.py:209-218). */
+  def cookiesOf(s: WorldSpec, d: Long): Seq[Cookie] =
+    if (s.cookieEvery > 0 && pmod(mix(s.seed, 36L, d), s.cookieEvery) == 0) {
+      val n = 1 + pmod(mix(s.seed, 37L, d), 2)
+      (0 until n).map { i =>
+        Cookie(s"c$i", s"v${pmod(mix(s.seed, 38L, d, i.toLong), 1000)}",
+          pmod(mix(s.seed, 39L, d, i.toLong), 2) == 0,
+          pmod(mix(s.seed, 41L, d, i.toLong), 2) == 0,
+          if (pmod(mix(s.seed, 42L, d, i.toLong), 2) == 0) "/" else "/p")
+      }
+    } else Nil
 
   /** `Link: <u>; rel="canonical"` response-header target of doc d (P7). */
   def canonicalHdrOf(s: WorldSpec, d: Long): String =
@@ -278,7 +325,7 @@ object WorldGen {
     val docs = (0L until s.nDocs).map { d =>
       UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
         100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html",
-        canonicalHdrOf(s, d))
+        canonicalHdrOf(s, d), cookiesOf(s, d))
     }
     val imgs = (0L until nImgs(s)).map { i =>
       val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
@@ -354,7 +401,7 @@ object WorldGen {
     val urlMap = spark.range(s.nDocs).map(d =>
         UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
           100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html",
-          canonicalHdrOf(s, d)))
+          canonicalHdrOf(s, d), cookiesOf(s, d)))
       .union(spark.range(nImgs(s)).map { i =>
         val mish = s.mishmashEvery > 0 && pmod(mix(s.seed, 11L, i), s.mishmashEvery) == 0
         UrlMapEntry(imgUrl(s, i), imgDocId(i), 200, null, "image/png",

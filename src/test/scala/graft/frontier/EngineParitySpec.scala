@@ -100,6 +100,15 @@ class EngineParitySpec extends AnyFunSuite {
     val expHeaders = o.headers.map(h => (h.seq, h.name, h.value)).sorted.toVector
     assert(gotHeaders == expHeaders, "headers mismatch")
 
+    // G5 response-cookie rows of 200 fetches (multiset)
+    val gotCookies = r.cookies.collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2), x.getBoolean(3),
+        x.getBoolean(4), x.getString(5))).sorted.toVector
+    val expCookies = o.cookies
+      .map(c => (c.seq, c.name, c.value, c.secure, c.httpOnly, c.path))
+      .sorted.toVector
+    assert(gotCookies == expCookies, "cookies mismatch")
+
     // A3 volume accounting: Σ of the per-round volumeBytes lineage rows
     val gotVolume = (0 to r.lastRound)
       .flatMap(k => r.store.readLineage(k))
@@ -191,6 +200,73 @@ class EngineParitySpec extends AnyFunSuite {
       _.copy(uriRegexes = Nil))
   }
 
+  test("parity: cookie recording (G5) incl. redirected and ignored-type fetches") {
+    val spec = WorldSpec("cookie-world", nHosts = 3, nDocs = 40,
+      cookieEvery = 3, redirectEvery = 4, imgEvery = 3)
+    val (o, r) = runBoth(spec, cfg(spec))
+    assertParity(o, r)
+    assert(o.cookies.nonEmpty, "cookie world must actually produce cookies")
+  }
+
+  test("parity: non_semantic_html checker (deprecated tags/attrs, phase 13)") {
+    val spec = WorldSpec("nonsem-world", nHosts = 3, nDocs = 40, nonsemEvery = 2)
+    val (o, r) = runBoth(spec, cfg(spec))
+    assertParity(o, r)
+    assert(o.defects.exists(_.defect.typeName == "nonsem"),
+      "nonsem world must actually produce nonsem defects")
+  }
+
+  test("parity: non-http robots sitemap loc is pushed, then DONE-IGNORED") {
+    val spec = WorldSpec("sitemap-alt", nHosts = 6, nDocs = 40,
+      sitemapEvery = 2, sitemapAltEvery = 2)
+    val c = cfg(spec).copy(acceptedTypes = Seq("text/html", "image/png",
+      "text/plain", "text/xml", "application/gzip"))
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+    val ftp = o.transactions.values.filter(_.uri.startsWith("ftp://"))
+    assert(ftp.nonEmpty && ftp.forall(
+      _.verificationStatus == VerificationStatus.DoneIgnored))
+  }
+
+  test("parity: maxContentLength cap (F4)") {
+    val spec = WorldSpec("maxlen-world", nHosts = 2, nDocs = 30)
+    val c = cfg(spec).copy(maxContentLength = Some(2000L))
+    val lw = WorldGen.localWorld(spec)
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+    // non-vacuous: some 200 doc exceeded the cap and was ignored
+    assert(o.transactions.values.exists(t =>
+      t.verificationStatus == VerificationStatus.DoneIgnored &&
+        lw.urlMap.get(t.uri).exists(_.content_length > 2000L)))
+  }
+
+  test("parity: F12 config-disabled checker (mailer off via empty regex list)") {
+    val spec = WorldSpec("checker-zoo", nHosts = 3, nDocs = 40, dupEvery = 4,
+      styleEvery = 3, metaEvery = 2, scriptEvery = 3, mailEvery = 4, imgEvery = 3)
+    val c = cfg(spec).copy(pluginGates = PluginGate.defaults +
+      ("mailer" -> PluginGate(Seq("text/html"), Nil)))
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+    assert(!o.defects.exists(_.defect.typeName == "mail"),
+      "config-disabled mailer must emit no defects")
+    // sanity: the same world WITH defaults does emit mail defects
+    val oDefault = RefCrawlOracle.crawl(WorldGen.localWorld(spec), cfg(spec))
+    assert(oDefault.defects.exists(_.defect.typeName == "mail"))
+  }
+
+  test("parity: F12 uri-scoped gates (links_finder + seo_meta restricted to one host)") {
+    val spec = WorldSpec("gated-world", nHosts = 3, nDocs = 40,
+      metaEvery = 2, canonicalEvery = 4)
+    val c = cfg(spec).copy(pluginGates = PluginGate.defaults +
+      ("links_finder" -> PluginGate(Seq("text/html"), Seq("http://h0000\\."))) +
+      ("seo_meta" -> PluginGate(Seq("text/html"), Seq("http://h0001\\."))))
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+    val metaSeqs = o.defects.filter(_.defect.typeName.startsWith("seo:no")).map(_.defect.responseSeq)
+    assert(metaSeqs.forall(s => o.transactions(s).uri.startsWith("http://h0001.")),
+      "seo_meta defects must be limited to the gated host")
+  }
+
   test("parity holds without the bloom prefilter (exact band alone)") {
     val spec = WorldSpec("dedup-web", nHosts = 3, nDocs = 25, variantEvery = 2)
     val (o, r) = runBoth(spec, cfg(spec), useBloom = false)
@@ -207,6 +283,23 @@ class EngineParitySpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("crawl-distboot").toString
     val run = CrawlDriver.crawl(spark, world(spec), c, dir, distBootstrapMin = 1)
     assertParity(oracle, run)
+  }
+
+  test("parity: deep crawl (30+ rounds) with periodic state compaction") {
+    // a slow host (delay > reschedule bound) admits ~1 fetch per round,
+    // driving a deep BSP loop on a small world
+    val spec = WorldSpec("deep-slow", nHosts = 2, nDocs = 44, hotPct = 50,
+      slowEvery = 2, slowDelayS = 12.0)
+    val c = cfg(spec)
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    assert(oracle.rounds > 15, s"world too shallow for a deep-crawl test: ${oracle.rounds}")
+    val dir = Files.createTempDirectory("crawl-deep").toString
+    val run = CrawlDriver.crawl(spark, world(spec), c, dir,
+      bloomMinSeen = 0L, compactEvery = 5)
+    assertParity(oracle, run)
+    val compactions = (0 to run.lastRound).flatMap(k => run.store.readLineage(k))
+      .count(_._1 == "compacted")
+    assert(compactions >= 3, s"expected periodic compactions, saw $compactions")
   }
 
   test("resume: killing after round k and resuming yields identical outputs") {

@@ -112,6 +112,46 @@ class OpsSpec extends AnyFunSuite {
     assert(byId(1L).size == 12)
   }
 
+  test("droppedBuckets reports over-cap buckets excluded from pairing (no silent caps)") {
+    // 20 identical docs = one mega-bucket per band; cap of 5 drops them
+    val docs = (0L until 20L).map(i => (i, base)).toDF("doc_id", "text")
+    val banded = DedupOps.minhashBanded(docs, "text", "doc_id", shingleN = 3, k = 20, bands = 5)
+    val dropped = DedupOps.droppedBuckets(banded, bucketCap = 5).collect()
+    assert(dropped.length == 5, s"every band's bucket must report as dropped: ${dropped.length}")
+    assert(dropped.forall(_.getLong(2) == 20L))
+    // and the capped pair pass indeed returns nothing for them
+    val pairs = DedupOps.minhashNearDups(docs, "text", "doc_id",
+      shingleN = 3, k = 20, bands = 5, threshold = 0.5, bucketCap = 5)
+    assert(pairs.count() == 0L)
+    // with the cap lifted the same corpus pairs fully
+    val uncapped = DedupOps.minhashNearDups(docs, "text", "doc_id",
+      shingleN = 3, k = 20, bands = 5, threshold = 0.5, bucketCap = 5000)
+    assert(uncapped.count() == 20L * 19L / 2L)
+  }
+
+  test("lshTopK 16-bit chunks: candidate set is an index, not a partial scan") {
+    val n = 2000
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(concat(col("id"), lit(":"), i)), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val q = vecs.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    // count candidates the band join admits (pre-top-k)
+    val qSketch = Seq(Tuple1(q)).toDF("v")
+      .select(explode(SimilarityOps.bandChunks(col("v"), 16, 16)).as("bc"))
+      .select(col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+    val candidates = vecs.select(col("vec_id"),
+        explode(SimilarityOps.bandChunks(col("embedding"), 16, 16)).as("bc"))
+      .select(col("vec_id"), col("bc.band").as("band"), col("bc.chunk").as("chunk"))
+      .join(broadcast(qSketch), Seq("band", "chunk"))
+      .select("vec_id").distinct().count()
+    assert(candidates < n / 50,
+      s"16-bit chunks must admit ≪ N candidates, got $candidates of $n")
+    val lsh = SimilarityOps.lshTopK(vecs, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0))
+    assert(lsh.contains(7L), s"identical vector must be recalled: ${lsh.mkString(",")}")
+  }
+
   test("langId classifies obvious samples and falls back to und") {
     val df = Seq(
       ("the cat and the dog went to the house and it was good", "en"),

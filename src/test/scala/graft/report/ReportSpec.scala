@@ -56,15 +56,19 @@ class ReportSpec extends AnyFunSuite {
     assert(inv.nonEmpty && oth.nonEmpty)
   }
 
-  test("parentIds (J4): first-created processed link per transaction, -1 fallback") {
+  test("parentIds (J4): processed creating-link's parent per transaction, -1 fallback") {
     val got = Report.parentIds(run).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference semantics (database.py:443-445 + log_link at :150-154):
+    // requestId = child id, responseId = parent id — key on the child side
     val expected = oracle.transactions.values.filter(_.depth > 0).map { t =>
-      val first = oracle.links.filter(l => l.fromSeq == t.seq && l.processed)
-        .map(_.toSeq).sorted.headOption.getOrElse(-1L)
-      t.seq -> first
+      val parent = oracle.links.find(l => l.toSeq == t.seq && l.processed)
+        .map(_.fromSeq).getOrElse(-1L)
+      t.seq -> parent
     }.toMap
     assert(got == expected)
+    // non-vacuous: some transaction must actually resolve a parent
+    assert(expected.values.exists(_ >= 0L))
   }
 
   test("sitemapXml (S6) lists exactly the DONE-OK URIs matching the regex") {
