@@ -29,13 +29,17 @@ object SparkEntry {
     crawlCache.getOrElse {
       val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
         politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
-        canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4)
+        canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4,
+        tidyEvery = 3, cssEvery = 4)
       val w = WorldGen.sparkWorld(s, spec)
       val world = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(), w.hosts.toDF(), w.rules.toDF(),
       if (spec.sitemapEvery > 0) w.sitemaps.toDF() else null)
-      val cfg = CrawlConfig(seeds = WorldGen.seeds(spec),
+      val cfg = CrawlConfig(seeds = Nil,
+        seedEntries = WorldGen.seeds(spec).map(graft.model.SeedEntry(_)) :+
+          graft.model.SeedEntry(WorldGen.docUrl(spec, 5), "GET",
+            Seq("ref" -> "rss feed", "page" -> "2")),
         acceptedTypes = Seq("text/html", "image/png", "text/plain", "text/xml",
-          "application/gzip"),
+          "application/gzip", "text/css"),
         sitemapMaxSize = 220, sitemapMaxRecords = 2)
       val dir = java.nio.file.Files.createTempDirectory("entry-crawl").toString
       val run = CrawlDriver.crawl(s, world, cfg, dir)
@@ -415,7 +419,13 @@ object SparkEntry {
       graft.report.Report.parentIds(tinyCrawl(s)).orderBy(col("seq"))),
     // G5/J3 cookies ⋈ transactions (database.py:334-338)
     "crawl_g5_cookies" -> ((s, _) =>
-      graft.report.Report.cookieReport(tinyCrawl(s)))
+      graft.report.Report.cookieReport(tinyCrawl(s))),
+    // G6 param table of paramed entry points (database.py:185-189)
+    "crawl_g6_params" -> ((s, _) =>
+      tinyCrawl(s).params.orderBy(col("seq"), col("key"))),
+    // G7/A5 tidy validator rows with serial first-seen codes
+    "crawl_g7_tidy" -> ((s, _) =>
+      graft.report.Report.tidyDefects(tinyCrawl(s)))
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -21,56 +21,102 @@ import scala.jdk.CollectionConverters._
   * `kind` (parquet row-group stats prune, since the union lays kinds
   * out contiguously).
   *
+  * The merged schema is PACKED: instead of a 47-column superset (one
+  * named column per field of every kind, mostly null), kinds map their
+  * fields onto 13 generic slots by type (3 longs, 6 strings, 2 ints,
+  * 1 double, 2 booleans). Every written row carries 15 fields instead
+  * of 47 — at 10^5..10^9 rows/round the union's row width is the write
+  * job's memory traffic, and the wide layout measurably throttled the
+  * multi-core scaling curve. [[asDelta]] packs named → slots;
+  * [[kindOf]]/[[kindUnion]] unpack slots → names, so every reader
+  * still sees its natural column names.
+  *
   * The `TableFormat`-shaped interface is deliberately narrow so an
   * iceberg-spark-runtime implementation can slot in unchanged (no
   * Iceberg jar ships in /opt/spark/jars).
   */
 object SnapshotStore {
 
-  /** Superset schema of the merged per-round delta. */
-  val deltaFields: Seq[(String, DataType)] = Seq(
-    "kind" -> StringType, "round" -> IntegerType,
-    // frontier / accepted / transactions family
-    "seq" -> LongType, "pos" -> LongType, "uri" -> StringType,
-    "origUri" -> StringType, "depth" -> IntegerType, "srcSeq" -> LongType,
-    "method" -> StringType, "expected" -> StringType, "referer" -> StringType,
-    "canon" -> StringType, "decoded" -> StringType,
-    "responseStatus" -> IntegerType, "contentType" -> StringType,
-    "verificationStatus" -> StringType,
-    // links
-    "fromSeq" -> LongType, "toUri" -> StringType, "toSeq" -> LongType,
-    "createdAtPop" -> LongType,
-    // defects
-    "popPos" -> LongType, "phase" -> IntegerType, "responseSeq" -> LongType,
-    "typeName" -> StringType, "evidence" -> StringType,
-    "severity" -> DoubleType, "sub" -> IntegerType,
-    // host_state
-    "host" -> StringType, "lastVisitS" -> DoubleType,
-    // dup_state (uri shared above)
-    "size" -> LongType, "bhash" -> LongType, "pop" -> LongType,
-    // headers (G4)
-    "hname" -> StringType, "hvalue" -> StringType,
-    // cookies (G5)
-    "cname" -> StringType, "cvalue" -> StringType,
-    "csecure" -> BooleanType, "chttpOnly" -> BooleanType,
-    "cpath" -> StringType,
-    // lineage
-    "metric" -> StringType, "partition" -> IntegerType, "count" -> LongType)
+  private val L = LongType; private val S = StringType; private val I = IntegerType
+  private val D = DoubleType; private val B = BooleanType
 
-  /** Projects `df` onto the superset schema with `kind`/`round` tags. */
-  def asDelta(kind: String, round: Int, df: DataFrame): DataFrame = {
-    val present = df.columns.toSet
-    val cols: Seq[Column] = deltaFields.map {
-      case ("kind", _) => lit(kind).as("kind")
-      case ("round", _) => lit(round).as("round")
-      case (c, _) if present(c) => col(c)
-      case (c, t) => lit(null).cast(t).as(c)
+  /** Generic slot columns of the packed delta. */
+  val slotFields: Seq[(String, DataType)] = Seq(
+    "l0" -> L, "l1" -> L, "l2" -> L,
+    "s0" -> S, "s1" -> S, "s2" -> S, "s3" -> S, "s4" -> S, "s5" -> S,
+    "i0" -> I, "i1" -> I, "d0" -> D, "b0" -> B, "b1" -> B)
+
+  /** Per-kind field layout: (named column, its type) in slot-assignment
+    * order (longs fill l0.., strings s0.., ints i0.., doubles d0..,
+    * booleans b0..). Adding a kind = adding a row here.
+    */
+  private val kindFields: Map[String, Seq[(String, DataType)]] = Map(
+    "frontier" -> Seq("seq" -> L, "pos" -> L, "srcSeq" -> L,
+      "uri" -> S, "origUri" -> S, "method" -> S, "expected" -> S,
+      "referer" -> S, "dataQ" -> S, "depth" -> I),
+    "accepted" -> Seq("seq" -> L,
+      "method" -> S, "canon" -> S, "decoded" -> S, "expected" -> S, "depth" -> I),
+    "transactions" -> Seq("seq" -> L,
+      "method" -> S, "uri" -> S, "contentType" -> S, "verificationStatus" -> S,
+      "expected" -> S, "responseStatus" -> I, "depth" -> I),
+    "links" -> Seq("fromSeq" -> L, "toSeq" -> L, "createdAtPop" -> L, "toUri" -> S),
+    "defects" -> Seq("popPos" -> L, "responseSeq" -> L,
+      "typeName" -> S, "evidence" -> S, "phase" -> I, "sub" -> I, "severity" -> D),
+    "host_state" -> Seq("host" -> S, "lastVisitS" -> D),
+    "dup_state" -> Seq("size" -> L, "bhash" -> L, "pop" -> L, "uri" -> S),
+    "known_maps" -> Seq("uri" -> S),
+    "headers" -> Seq("seq" -> L, "hname" -> S, "hvalue" -> S),
+    "cookies" -> Seq("seq" -> L, "cname" -> S, "cvalue" -> S, "cpath" -> S,
+      "csecure" -> B, "chttpOnly" -> B),
+    "params" -> Seq("seq" -> L, "pkey" -> S, "pvalue" -> S),
+    "lineage" -> Seq("count" -> L, "metric" -> S, "partition" -> I))
+
+  /** Slot name per (kind, named column). */
+  private def slotAssignment(kind: String): Seq[(String, String, DataType)] = {
+    val counters = scala.collection.mutable.Map[Char, Int]().withDefaultValue(0)
+    kindFields(kind).map { case (name, t) =>
+      val prefix = t match {
+        case LongType => 'l'
+        case StringType => 's'
+        case IntegerType => 'i'
+        case DoubleType => 'd'
+        case BooleanType => 'b'
+        case other => throw new IllegalArgumentException(s"unsupported $other")
+      }
+      val idx = counters(prefix); counters(prefix) = idx + 1
+      (name, s"$prefix$idx", t)
     }
+  }
+
+  /** Packs `df`'s named columns into the generic slot schema with
+    * `kind`/`round` tags. Missing named columns become null slots.
+    */
+  def asDelta(kind: String, round: Int, df: DataFrame): DataFrame = {
+    val assign = slotAssignment(kind)
+    val present = df.columns.toSet
+    val bySlot: Map[String, Column] = assign.map { case (name, slot, t) =>
+      slot -> (if (present(name)) col(name).cast(t) else lit(null).cast(t))
+    }.toMap
+    val cols: Seq[Column] = lit(kind).as("kind") +: lit(round).as("round") +:
+      slotFields.map { case (slot, t) =>
+        bySlot.getOrElse(slot, lit(null).cast(t)).as(slot)
+      }
     df.select(cols: _*)
+  }
+
+  /** Unpacks a packed frame's slots back to `kind`'s named columns
+    * (keeps `round`).
+    */
+  def unpack(kind: String, packed: DataFrame): DataFrame = {
+    val cols: Seq[Column] = slotAssignment(kind).map { case (name, slot, _) =>
+      col(slot).as(name)
+    } :+ col("round")
+    packed.select(cols: _*)
   }
 }
 
 class SnapshotStore(val root: String, spark: SparkSession) {
+  import SnapshotStore.unpack
 
   case class Counters(round: Int, nextSeq: Long, nextPos: Long,
       popBase: Long, seenCount: Long, frontierCount: Long)
@@ -84,16 +130,19 @@ class SnapshotStore(val root: String, spark: SparkSession) {
 
   def readDelta(k: Int): DataFrame = spark.read.parquet(deltaDir(k))
 
-  /** Rows of one `kind` in round k (parquet filter pushdown on kind). */
+  /** Rows of one `kind` in round k, with the kind's named columns
+    * (parquet filter pushdown on the leading kind column).
+    */
   def kindOf(k: Int, kind: String): DataFrame =
-    readDelta(k).filter(col("kind") === kind)
+    unpack(kind, readDelta(k).filter(col("kind") === kind))
 
   /** Rows of one `kind` across rounds −1 (bootstrap)..k (empty-safe). */
   def kindUnion(k: Int, kind: String): Option[DataFrame] = {
     val dirs = (-1 to k).map(i => Paths.get(deltaDir(i)))
       .filter(p => Files.exists(p)).map(_.toString)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).filter(col("kind") === kind))
+    else Some(unpack(kind,
+      spark.read.parquet(dirs: _*).filter(col("kind") === kind)))
   }
 
   /** Commit a round: MANIFEST.json written last, atomically. */

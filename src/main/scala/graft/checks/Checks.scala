@@ -225,11 +225,38 @@ object Checks {
           concat(lit("Tag "), tag), 0.4))
     })))
 
+    // tidy validator model (G7, tidy_html_validator.py:50-83, phase 14):
+    // tidy-msg spans carry desc in `text` and "category|location" in
+    // `media_ref`; one defect per message. typeName packs cat+desc
+    // ("tidy:<cat>:<desc>") so the report layer can assign the
+    // reference's serial W{n}/E{n}/I{n}/X{n} codes deterministically
+    // (Report.tidyCodes); severity per category (:21-23), unknown → -1
+    val tidy = reindex(transform(ofKind(sp, "tidy-msg"), s => {
+      val cat = split(s.getField("media_ref"), "\\|").getItem(0)
+      val loc = split(s.getField("media_ref"), "\\|").getItem(1)
+      val sev = when(cat === "Warning", 0.5).when(cat === "Error", 1.0)
+        .when(cat === "Info", 0.3).otherwise(-1.0)
+      struct(lit(14).as("phase"),
+        concat(lit("tidy:"), cat, lit(":"), s.getField("text")).as("typeName"),
+        concat(lit("["), cat, lit(", "), loc, lit("]"))
+          .cast(org.apache.spark.sql.types.StringType).as("evidence"),
+        sev.as("severity"), lit(0).as("sub"))
+    }))
+
+    // tinycss validator model (G7, tinycss_css_validator_plugin.py:29-33,
+    // phase 15): one "stylesheet" defect per css-err span, evidence
+    // [line, reason], severity 0.7 — gated to text/css pages
+    val cssErrs = reindex(transform(ofKind(sp, "css-err"), s =>
+      mk(15, "stylesheet",
+        concat(lit("["), s.getField("media_ref"), lit(", "),
+          s.getField("text"), lit("]")), 0.7)))
+
     concat(
       gated("css_scraper", huge), gated("css_scraper", inlineDup),
       gated("seo_meta", meta), gated("no_script", scripts),
       gated("seo_images", imgs), gated("mailer", mails),
-      gated("non_semantic_html", nonsem))
+      gated("non_semantic_html", nonsem),
+      gated("tidyHtmlValidator", tidy), gated("tinycss", cssErrs))
   }
 
   /** Mail defect description twin for the oracle. */

@@ -27,7 +27,7 @@ import org.apache.spark.util.sketch.BloomFilter
 object CrawlDriver {
 
   private val frontierCols = Seq("seq", "pos", "uri", "origUri", "depth",
-    "srcSeq", "method", "expected", "referer")
+    "srcSeq", "method", "expected", "referer", "dataQ")
 
   case class CrawlRun(store: SnapshotStore, lastRound: Int, spark: SparkSession) {
     private def unionKind(name: String): DataFrame =
@@ -61,6 +61,9 @@ object CrawlDriver {
       .select(col("seq"), col("cname").as("name"), col("cvalue").as("value"),
         col("csecure").as("secure"), col("chttpOnly").as("httpOnly"),
         col("cpath").as("path"))
+    /** G6 param fact rows of accepted pushes (database.py:185-189). */
+    def params: DataFrame = unionKind("params")
+      .select(col("seq"), col("pkey").as("key"), col("pvalue").as("value"))
     /** transactions: latest row per seq wins (REQUESTED → DONE-*). */
     def transactions: DataFrame = {
       val requested = accepted.select(col("seq"), col("method"),
@@ -98,19 +101,34 @@ object CrawlDriver {
     * billion-URL seed list never loops on the driver.
     */
   private def bootstrapDistributed(spark: SparkSession, cfg: CrawlConfig,
-      store: SnapshotStore): Unit = {
+      store: SnapshotStore, seedSource: Option[DataFrame]): Unit = {
     import graft.plans.Ranks
     import graft.url.UrlExpressions._
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
-    val raw = spark.createDataset(cfg.seeds.zipWithIndex.map { case (u, i) => (i.toLong, u) })
-      .toDF("i", "raw").repartition(parts, col("i"))
+    // a billion-URL seed list must never exist as a driver Seq: callers
+    // at scale pass `seedSource` (columns i: Long unique ascending,
+    // raw: String), generated/read distributively
+    val (raw0, nSeeds) = seedSource match {
+      case Some(df) => (df.select(col("i"), col("raw")),
+        df.agg(max(col("i"))).head().getLong(0) + 1L)
+      case None => (spark.createDataset(
+          cfg.seeds.zipWithIndex.map { case (u, i) => (i.toLong, u) })
+        .toDF("i", "raw"), cfg.seeds.size.toLong)
+    }
+    val raw = raw0.repartition(parts, col("i"))
       .withColumn("decoded", url_unquote2(col("raw")))
       .withColumn("canon", url_defrag(col("decoded")))
-    val first = raw.withColumn("rn",
-        row_number().over(Window.partitionBy(col("canon")).orderBy(col("i"))))
-      .filter(col("rn") === 1).drop("rn")
-    val ranked = Ranks.withGlobalRank(first, Seq(col("i")), "pos")
+    // first occurrence per canon via partial-aggregating groupBy (map-
+    // side combine, no per-partition sort); i is unique so min(struct)
+    // is the deterministic winner
+    val first = raw.groupBy(col("canon"))
+      .agg(min(struct(col("i"), col("decoded"))).as("f"))
+      .select(col("f.i").as("i"), col("canon"), col("f.decoded").as("decoded"))
+    // bounded rank on the known index range — no sampling pass (a
+    // repartitionByRange would re-scan the seed set to sample bounds)
+    val ranked = Ranks.withBoundedRank(first, Seq(col("i")), "pos",
+      col("i"), 0L, nSeeds)
     val limited = cfg.urlLimit match {
       case Some(l) => ranked.filter(col("pos") < l)
       case None => ranked
@@ -118,54 +136,69 @@ object CrawlDriver {
     val frontier = limited.select(col("i").as("seq"), col("pos"),
       col("canon").as("uri"), col("canon").as("origUri"), lit(0).as("depth"),
       lit(-1L).as("srcSeq"), lit("GET").as("method"),
-      lit(null).cast("string").as("expected"), lit(null).cast("string").as("referer"))
+      lit(null).cast("string").as("expected"), lit(null).cast("string").as("referer"),
+      lit(null).cast("string").as("dataQ"))
     val accepted = limited.select(col("i").as("seq"), lit("GET").as("method"),
       col("canon"), col("decoded"), lit(0).as("depth"),
       lit(null).cast("string").as("expected"))
+    val tW = System.nanoTime()
     store.writeDelta(-1, asDelta("frontier", -1, frontier)
       .unionByName(asDelta("accepted", -1, accepted))
       .unionByName(asDelta("host_state", -1,
         spark.emptyDataset[HostState].toDF()))
       .coalesce(parts))
+    val tC = System.nanoTime()
     val n = store.kindOf(-1, "frontier").count()
-    store.commit(-1, store.Counters(-1, cfg.seeds.size.toLong, n, 0L, n, n),
+    if (sys.env.contains("SPARK_GRAFT_TRACE"))
+      println(f"[bootstrap] write=${(tC - tW) / 1e9}%.1fs " +
+        f"count=${(System.nanoTime() - tC) / 1e9}%.1fs")
+    store.commit(-1, store.Counters(-1, nSeeds, n, 0L, n, n),
       Seq(("seeds", 0, n)))
   }
 
   /** Seed bootstrap = round "-1": replicates push(createTransaction(seed))
     * for each configured entry point in order (core.py:55-61) — tiny,
-    * driver-side, exactly the oracle's seed path. Seed lists past
+    * driver-side, exactly the oracle's seed path, including method/data
+    * entry points (P15/G6: data is urlencoded onto the fetch key and
+    * recorded into the param table at push-accept). Seed lists past
     * `distBootstrapMin` take [[bootstrapDistributed]].
     */
   private def bootstrap(spark: SparkSession, cfg: CrawlConfig, store: SnapshotStore): Unit = {
     import spark.implicits._
     var nextSeq = 0L
     var nextPos = 0L
-    val seen = scala.collection.mutable.LinkedHashMap.empty[String, Long]
-    val items = scala.collection.mutable.ArrayBuffer.empty[FrontierEntry]
-    val aliases = scala.collection.mutable.ArrayBuffer.empty[AliasRow]
-    for (seed <- cfg.seeds) {
-      val decoded = UrlFuncs.unquote2(seed)
+    val seen = scala.collection.mutable.LinkedHashMap.empty[(String, String), Long]
+    // (seq, pos, canon, decoded, method, dataQ)
+    val items = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String, String, String, String)]
+    val params = scala.collection.mutable.ArrayBuffer.empty[ParamRow]
+    for (e <- cfg.effectiveSeeds) {
+      val decoded = UrlFuncs.unquote2(e.url)
       val seq = nextSeq; nextSeq += 1
       val canon = UrlFuncs.defrag(decoded)
-      if (!seen.contains(canon) && !cfg.urlLimit.exists(seen.size >= _)) {
-        seen(canon) = seq
-        items += FrontierEntry(seq, nextPos, canon, 0, -1L, "GET", None)
-        aliases += AliasRow(seq, decoded)
+      val key = (canon, e.method)
+      if (!seen.contains(key) && !cfg.urlLimit.exists(seen.size >= _)) {
+        seen(key) = seq
+        val dq = if (e.data.nonEmpty) UrlFuncs.urlencode(e.data) else null
+        items += ((seq, nextPos, canon, decoded, e.method, dq))
+        if (cfg.recordParams)
+          for ((k, v) <- e.data) params += ParamRow(seq, k, v)
         nextPos += 1
       }
     }
-    val frontier = items.toSeq.map(i =>
-        (i.seq, i.pos, i.uri, i.uri, i.depth, i.srcSeq, i.method, i.expected.orNull,
-          null: String))
+    val frontier = items.toSeq.map { case (seq, pos, canon, _, method, dq) =>
+        (seq, pos, canon, canon, 0, -1L, method, null: String, null: String, dq)
+      }
       .toDF("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method", "expected",
-        "referer")
-    val accepted = items.toSeq.zip(aliases).map { case (i, a) =>
-        (i.seq, i.method, i.uri, a.uri, i.depth, i.expected.orNull)
+        "referer", "dataQ")
+    val accepted = items.toSeq.map { case (seq, _, canon, decoded, method, _) =>
+        (seq, method, canon, decoded, 0, null: String)
       }.toDF("seq", "method", "canon", "decoded", "depth", "expected")
+    val paramsDf = params.toSeq.map(p => (p.seq, p.key, p.value))
+      .toDF("seq", "pkey", "pvalue")
     val hostState = spark.emptyDataset[HostState].toDF()
     store.writeDelta(-1, asDelta("frontier", -1, frontier)
       .unionByName(asDelta("accepted", -1, accepted))
+      .unionByName(asDelta("params", -1, paramsDf))
       .unionByName(asDelta("host_state", -1, hostState))
       .coalesce(1))
     store.commit(-1, store.Counters(-1, nextSeq, nextPos, 0L, seen.size.toLong,
@@ -192,16 +225,26 @@ object CrawlDriver {
   def crawl(spark: SparkSession, world0: CrawlRound.WorldDF, cfg: CrawlConfig,
       checkpointDir: String, useBloom: Boolean = true,
       bloomMinSeen: Long = 100000L, distBootstrapMin: Int = 50000,
-      compactEvery: Int = 8): CrawlRun = {
+      compactEvery: Int = 8,
+      /** distributed seed table (i: Long unique ascending, raw: String);
+        * replaces cfg.seeds for wide frontiers (same push semantics) */
+      seedSource: Option[DataFrame] = None): CrawlRun = {
     val store = new SnapshotStore(checkpointDir, spark)
     // cluster mode takes reliable per-round checkpoints (CrawlRound f5c)
     // into the snapshot store's filesystem
     if (!spark.sparkContext.isLocal && spark.sparkContext.getCheckpointDir.isEmpty)
       spark.sparkContext.setCheckpointDir(s"$checkpointDir/_rdd_checkpoints")
+    val trace0 = sys.env.contains("SPARK_GRAFT_TRACE")
+    val tB = System.nanoTime()
     if (store.latestCommitted().isEmpty) {
-      if (cfg.seeds.size >= distBootstrapMin) bootstrapDistributed(spark, cfg, store)
+      // entry points with request data stay on the serial path (they
+      // are config-enumerated, never billions)
+      val hasData = cfg.seedEntries.exists(_.data.nonEmpty)
+      if (!hasData && (seedSource.isDefined || cfg.seeds.size >= distBootstrapMin))
+        bootstrapDistributed(spark, cfg, store, seedSource)
       else bootstrap(spark, cfg, store)
     }
+    if (trace0) println(f"[crawl] bootstrap=${(System.nanoTime() - tB) / 1e9}%.1fs")
     // round-invariant world prep (redirect-resolved fetch map, robots
     // aggregation), cached once and shared by every round
     val prepped0 = CrawlRound.prepare(world0, cfg)
@@ -227,7 +270,8 @@ object CrawlDriver {
 
     var last = store.latestCommitted().get
     var c = store.readCounters(last)
-    val trace = sys.env.contains("SPARK_GRAFT_TRACE")
+    val trace = trace0
+    if (trace) println(f"[crawl] prep=${(System.nanoTime() - tB) / 1e9}%.1fs (cumulative)")
 
     // ---- cross-round state: parquet-rooted, cumulative parts cached --
     def seenSel(df: DataFrame): DataFrame =

@@ -162,11 +162,23 @@ object CrawlRound {
       if (cfg.normalizeUris) url_defrag(url_normalize(col("uri"))) else col("uri"))
 
     // ---- fetch = frontier ⋈ pre-resolved fetch map (J6, one join) ----
-    val f2 = f1n
-      .join(world.fetchMap, f1n("uriN") === col("url"), "left")
+    // P15: GET/HEAD request data rides the fetch URL (net.py:200-207);
+    // the param-free case keeps the plain uriN key so the frontier's
+    // uri partitioning still co-locates with the cached fetch map
+    val hasParamSeeds = cfg.effectiveSeeds.exists(_.data.nonEmpty)
+    val fetchKey =
+      if (!hasParamSeeds) col("uriN")
+      else when((col("method") === "GET" || col("method") === "HEAD") &&
+          col("dataQ").isNotNull,
+        concat(col("uriN"), lit("?"), col("dataQ"))).otherwise(col("uriN"))
+    val f2 = f1n.withColumn("fetchKey", fetchKey)
+      .join(world.fetchMap, col("fetchKey") === col("url"), "left")
       .withColumn("ct", split(col("finCtRaw"), ";").getItem(0))
+      // a successful paramed fetch's r.url carries the query, so the
+      // primary-URI rewrite fires off fetchKey (net.py:121-123)
       .withColumn("finalUrl",
-        when(col("redirTarget").isNotNull, url_defrag(col("redirTarget"))).otherwise(col("uriN")))
+        when(col("redirTarget").isNotNull, url_defrag(col("redirTarget")))
+          .otherwise(col("fetchKey")))
 
     val maxLenGate: Column = cfg.maxContentLength
       .map(m => col("finLen") > m).getOrElse(lit(false))
@@ -240,13 +252,21 @@ object CrawlRound {
           Checks.pageDefectsArr(col("spansSorted"), col("ct"), col("uriOk"), cfg)))
       // slim the checkpoint row: downstream only needs the link-ish
       // spans, the body hash (dupdetect key) and the defect array — the
-      // bulk text spans would otherwise dominate checkpoint memory
+      // bulk text spans would otherwise dominate checkpoint memory.
+      // reached200 (the G5/badtype gate) is precomputed so the fetch-
+      // resolution columns (url/uriN/redirect/canonical) can be dropped
+      // from the checkpoint row entirely
+      .withColumn("reached200", (col("gate") === "pass") &&
+        url_scheme(col("uriN")).isin("http", "https") &&
+        col("url").isNotNull && (col("finStatus") === 200))
       .withColumn("hasSpans", col("spansSorted").isNotNull)
       .withColumn("bhash0",
         when(col("spansSorted").isNotNull, xxhash64(Checks.bodyStringCol(col("spansSorted")))))
       .withColumn("linkSpans", filter(col("spansSorted"),
         sp => sp.getField("kind").isInCollection(LinkKinds :+ "sitemap-loc")))
-      .drop("doc_id", "spans", "spansSorted", "rrules")
+      .drop("doc_id", "spans", "spansSorted", "rrules",
+        "canonSpan", "uriN", "fetchKey", "finalUrl", "redirTarget", "finCanon",
+        "url", "finDocId")
 
     // Every output branches off f5 / kids2 / accepted. f5 is EAGERLY
     // checkpointed (not merely persisted): ~8 output branches reference
@@ -265,7 +285,7 @@ object CrawlRound {
     val processed = f5c.filter(!col("defer"))
     val deferred = f5c.filter(col("defer"))
       .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method",
-        "expected", "referer")
+        "expected", "referer", "dataQ")
 
     // ---- transactions delta (only DONE-OK persists uri/ct/status) ----
     val statusCol =
@@ -289,9 +309,7 @@ object CrawlRound {
         col("pos").as("popPos"), lit(phase).as("phase"), seqCol.as("responseSeq"),
         lit(name).as("typeName"), evidence.as("evidence"), lit(sev).as("severity"),
         lit(0).as("sub"))
-    val reached200 = (col("gate") === "pass") &&
-      url_scheme(col("uriN")).isin("http", "https") &&
-      col("url").isNotNull && (col("finStatus") === 200)
+    val reached200 = col("reached200")
     val defects = Seq(
       defectDf(col("fetchClass") === "invalid", 0, col("seq"), "invaliduri", col("uri"), 1.0),
       defectDf(col("fetchClass") === "neterr", 0, col("seq"), "neterr",
@@ -471,9 +489,18 @@ object CrawlRound {
     val kids2 = kids2b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- dedup: intra-round first-wins + URL-seen bands (D1) ---------
+    // partial-aggregating groupBy (min by unique seq) instead of a
+    // window: map-side combine shrinks the shuffle and skips the
+    // per-partition sort — skew-safe on hot canons
     val firstKids = kids2
-      .withColumn("rn", row_number().over(Window.partitionBy(col("canon")).orderBy(col("seq"))))
-      .filter(col("rn") === 1).drop("rn")
+      .groupBy(col("canon")).agg(min(struct(col("seq"), col("parentSeq"),
+        col("parentPos"), col("childIdx"), col("decoded"), col("cexpected"),
+        col("cdepth"), col("referer"), col("smHost"))).as("k"))
+      .select(col("canon"), col("k.seq").as("seq"), col("k.parentSeq").as("parentSeq"),
+        col("k.parentPos").as("parentPos"), col("k.childIdx").as("childIdx"),
+        col("k.decoded").as("decoded"), col("k.cexpected").as("cexpected"),
+        col("k.cdepth").as("cdepth"), col("k.referer").as("referer"),
+        col("k.smHost").as("smHost"))
       .withColumn("method", lit("GET"))
     val newItems = UrlSeen.dedupeAgainstSeen(
       firstKids, in.seen.select(col("uri").as("canon"), col("method")),
@@ -511,17 +538,17 @@ object CrawlRound {
     // ---- next frontier: deferred ∪ accepted, serial-FIFO arrival order
     val defPart = deferred.select(col("pos").as("creatorPos"), lit(0L).as("ci"),
       col("seq"), col("uri"), col("origUri"), col("depth"), col("srcSeq"),
-      col("method"), col("expected"), col("referer"))
+      col("method"), col("expected"), col("referer"), col("dataQ"))
     val newPart = acceptedC.select(col("parentPos").as("creatorPos"),
       (col("childIdx").cast("long") + 1L).as("ci"), col("seq"), col("canon").as("uri"),
       col("canon").as("origUri"), col("cdepth").as("depth"),
       col("parentSeq").as("srcSeq"), col("method"), col("cexpected").as("expected"),
-      col("referer"))
+      col("referer"), lit(null).cast(StringType).as("dataQ"))
     val frontierOut = Ranks.withBoundedRank(defPart.unionByName(newPart),
       Seq(col("creatorPos"), col("ci")), "posRank", col("creatorPos"), in.posLo, in.nextPos)
       .withColumn("pos", col("posRank") + in.nextPos)
       .select("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method",
-        "expected", "referer")
+        "expected", "referer", "dataQ")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- host politeness state (closed form of the serial recurrence)

@@ -91,10 +91,26 @@ object PluginGate {
     "seo_images" -> PluginGate(Seq("text/html")),
     "mailer" -> PluginGate(Seq("text/html")),
     "non_semantic_html" -> PluginGate(Seq("text/html")),
+    "tidyHtmlValidator" -> PluginGate(Seq("text/html")),
+    "tinycss" -> PluginGate(Seq("text/css")),
     "links_finder" -> PluginGate(Seq("text/html")),
     "sitemap_scanner" -> PluginGate(
       Seq("application/gzip", "text/xml", "application/xml")))
 }
+
+/** A seed entry point (configLoader.py:14-18 EntryPointRecord): url
+  * plus optional method and request data. `data` is ordered (Python
+  * dict insertion order drives both urlencode and param-row order).
+  */
+case class SeedEntry(url: String, method: String = "GET",
+    data: Seq[(String, String)] = Nil)
+
+/** param fact row (mysql_tables.sql:20-25, database.py:185-189):
+  * request data exploded at push-accept time (transaction.py:207-210,
+  * `recordParams` default True). Only entry points carry data —
+  * link pushes always create empty dicts (transaction.py:163-175).
+  */
+case class ParamRow(seq: Long, key: String, value: String)
 
 /** Crawl configuration; defaults mirror configLoader.py:44-53. */
 case class CrawlConfig(
@@ -129,7 +145,18 @@ case class CrawlConfig(
     /** F12 per-plugin (contentTypes × uriRegex) dispatch tables;
       * defaults reproduce the reference plugins' declared gates.
       */
-    pluginGates: Map[String, PluginGate] = PluginGate.defaults)
+    pluginGates: Map[String, PluginGate] = PluginGate.defaults,
+    /** Entry points with method/data (P15/G6); when non-empty they
+      * REPLACE `seeds`. GET/HEAD data is urlencoded onto the fetch URL
+      * (net.py:200-207) and recorded into the param table.
+      */
+    seedEntries: Seq[SeedEntry] = Nil,
+    /** transaction.py:207-210 `recordParams`. */
+    recordParams: Boolean = true) {
+  /** The effective entry-point list. */
+  def effectiveSeeds: Seq[SeedEntry] =
+    if (seedEntries.nonEmpty) seedEntries else seeds.map(SeedEntry(_))
+}
 
 /** Verification status enum (database.py:54-58 + transaction.py:146). */
 object VerificationStatus {

@@ -69,12 +69,16 @@ object RefCrawlOracle {
       /** A3 (core.py:153-179): Σ content_length of processed fetches. */
       volumeBytes: Long = 0L,
       /** G5 (net.py:209-218): response cookies of every 200 fetch. */
-      cookies: Vector[CookieRow] = Vector.empty)
+      cookies: Vector[CookieRow] = Vector.empty,
+      /** G6 (transaction.py:207-210): request data of accepted pushes. */
+      params: Vector[ParamRow] = Vector.empty)
 
   private final class Item(
       val seq: Long, var pos: Long, var uri: String, val origUri: String,
       val depth: Int, val srcSeq: Long, val method: String,
-      val expected: Option[String], val referer: String = null)
+      val expected: Option[String], val referer: String = null,
+      /** urlencoded request data (P15, net.py:200-207); null = none */
+      val dataQ: String = null)
 
   def crawl(world: LocalWorld, cfg: CrawlConfig): CrawlOutput = {
     val seen = mutable.LinkedHashMap.empty[(String, String), Long]
@@ -84,6 +88,7 @@ object RefCrawlOracle {
     val aliasRows = mutable.ArrayBuffer.empty[AliasRow]
     val headerRows = mutable.ArrayBuffer.empty[HeaderRow]
     val cookieRows = mutable.ArrayBuffer.empty[CookieRow]
+    val paramRows = mutable.ArrayBuffer.empty[ParamRow]
     val knownMaps = mutable.HashSet.empty[String] // D3 (robots.py:72-83)
     val crawlOrder = mutable.ArrayBuffer.empty[(Long, Long, String)]
     val vt = mutable.HashMap.empty[String, Double]
@@ -171,6 +176,22 @@ object RefCrawlOracle {
         for (sp <- spans if sp.kind == "mail") // mailer (11)
           defect(item.seq, "mail", graft.checks.Checks.mailEvidence(sp.text), 0.8, 11)
       }
+      if (on("tidyHtmlValidator")) {
+        // tidy model (phase 14): typeName = "tidy:<cat>:<desc>",
+        // evidence = [cat, loc]; severity per category, unknown -1
+        for (sp <- spans if sp.kind == "tidy-msg") {
+          val Array(cat, loc) = sp.media_ref.split("\\|", 2)
+          val sev = cat match {
+            case "Warning" => 0.5; case "Error" => 1.0; case "Info" => 0.3
+            case _ => -1.0
+          }
+          defect(item.seq, s"tidy:$cat:${sp.text}", s"[$cat, $loc]", sev, 14)
+        }
+      }
+      if (on("tinycss")) { // phase 15: [line, reason], severity 0.7
+        for (sp <- spans if sp.kind == "css-err")
+          defect(item.seq, "stylesheet", s"[${sp.media_ref}, ${sp.text}]", 0.7, 15)
+      }
       if (on("non_semantic_html")) {
         // non_semantic_html (non_semantic_html.py:66-90, phase 13):
         // per descendant, attribute defects in table order, then the
@@ -192,18 +213,23 @@ object RefCrawlOracle {
       * item, or None when deduplicated / over the url limit.
       */
     def push(rawUri: String, depth: Int, srcSeq: Long, expected: Option[String],
-        hasParent: Boolean, referer: String = null): Option[Item] = {
+        hasParent: Boolean, referer: String = null, method: String = "GET",
+        data: Seq[(String, String)] = Nil): Option[Item] = {
       val decoded = UrlFuncs.unquote2(rawUri) // transaction.py:111
       val seq = nextSeq; nextSeq += 1 // idno consumed even for dups
       val canon = UrlFuncs.defrag(decoded) // transaction.py:152
-      val key = (canon, "GET")
+      val key = (canon, method)
       var created: Option[Item] = None
       if (!seen.contains(key)) {
         if (cfg.urlLimit.exists(seenCount >= _)) return None // SeenLimit: nothing logged
-        created = Some(new Item(seq, -1L, canon, canon, depth, srcSeq, "GET", expected, referer))
-        transactions(seq) = TransactionRow(seq, "GET", canon, None, None,
+        val dq = if (data.nonEmpty) UrlFuncs.urlencode(data) else null
+        created = Some(new Item(seq, -1L, canon, canon, depth, srcSeq, method,
+          expected, referer, dq))
+        transactions(seq) = TransactionRow(seq, method, canon, None, None,
           VerificationStatus.Requested, depth, expected)
         aliasRows += AliasRow(seq, decoded)
+        // __record_params at push-accept (transaction.py:207-210)
+        if (cfg.recordParams) for ((k, v) <- data) paramRows += ParamRow(seq, k, v)
         seen(key) = seq
         seenCount += 1
       }
@@ -238,8 +264,9 @@ object RefCrawlOracle {
     }
 
     // seeds (core.py:55-61): config order, depth 0, srcId −1, no link rows
-    var frontier: Vector[Item] = cfg.seeds
-      .flatMap(seed => push(seed, 0, -1L, None, hasParent = false)).toVector
+    var frontier: Vector[Item] = cfg.effectiveSeeds
+      .flatMap(e => push(e.url, 0, -1L, None, hasParent = false,
+        method = e.method, data = e.data)).toVector
     frontier.foreach { it => it.pos = nextPos; nextPos += 1 }
 
     var round = 0
@@ -322,9 +349,17 @@ object RefCrawlOracle {
               if (n != item.uri) item.uri = UrlFuncs.defrag(n)
             }
             val sch = UrlFuncs.scheme(item.uri)
+            // P15 __gen_param (net.py:200-207): GET/HEAD data rides the
+            // request URL; the response's r.url then carries the query,
+            // so a successful paramed fetch rewrites the primary URI
+            // (net.py:121-123 changePrimaryUri fires on uri != r.url)
+            val fetchUri =
+              if ((item.method == "GET" || item.method == "HEAD") && item.dataQ != null)
+                item.uri + "?" + item.dataQ
+              else item.uri
             if (sch != "http" && sch != "https") {
               finishRaw(VerificationStatus.DoneIgnored) // UrlError → ConditionError
-            } else world.urlMap.get(item.uri) match {
+            } else world.urlMap.get(fetchUri) match {
               case None =>
                 defect(item.seq, "neterr", "All %s attempts to get %s failed.", 0.9, 0)
                 finishRaw(VerificationStatus.DoneKo)
@@ -334,7 +369,7 @@ object RefCrawlOracle {
                     (world.urlMap.getOrElse(entry0.redirect_to,
                       UrlMapEntry(entry0.redirect_to, null, 404, null, "", 0L, null)),
                       entry0.redirect_to)
-                  else (entry0, item.uri)
+                  else (entry0, fetchUri)
                 if (entry.status != 200) {
                   defect(item.srcSeq, "badlink", item.uri, 1.0, 0)
                   finishRaw(VerificationStatus.DoneKo)
@@ -448,6 +483,6 @@ object RefCrawlOracle {
 
     CrawlOutput(crawlOrder.toVector, transactions.toMap, links.toVector,
       defects.toVector, aliasRows.toVector, seen.toMap, vt.toMap, round,
-      headerRows.toVector, volumeBytes, cookieRows.toVector)
+      headerRows.toVector, volumeBytes, cookieRows.toVector, paramRows.toVector)
   }
 }

@@ -103,6 +103,45 @@ object Report {
       .select(col("seq"), coalesce(col("parentSeq"), lit(-1L)).as("parentId"))
   }
 
+  /** Tidy defect-code assignment (A5 engine-side,
+    * tidy_html_validator.py:86-110): each NEW message description gets
+    * code `<letter><n>` where letter = category initial (Warning/Error/
+    * Info, anything else → X) and n counts up per letter in
+    * first-emission order — (popPos, phase, sub) is the total emission
+    * order, so the serial counter is reproducible distributively.
+    * Replicated reference quirk: `__get_code`'s Error branch assigns to
+    * `self._max_err` (single underscore — a fresh attribute), so the
+    * real Error counter NEVER increments and every new Error
+    * description gets E0.
+    */
+  def tidyCodes(run: CrawlRun): DataFrame = {
+    val d = run.defects.filter(col("typeName").startsWith("tidy:"))
+      .withColumn("cat", split(col("typeName"), ":").getItem(1))
+      .withColumn("desc", regexp_replace(col("typeName"), "^tidy:[^:]*:", ""))
+    val letter = when(col("cat").isin("Warning", "Error", "Info"),
+      substring(col("cat"), 1, 1)).otherwise(lit("X"))
+    d.groupBy(col("typeName"), col("cat"), col("desc"))
+      .agg(min(struct(col("popPos"), col("phase"), col("sub"))).as("firstSeen"))
+      .withColumn("letter", letter)
+      .withColumn("num",
+        when(col("letter") === "E", lit(0)) // reference _max_err typo
+          .otherwise(row_number().over(
+            Window.partitionBy(col("letter")).orderBy(col("firstSeen"))) - 1))
+      .select(concat(col("letter"), col("num")).as("code"), col("desc"),
+        col("typeName"))
+  }
+
+  /** G7 tidy validator rows with resolved codes (one row per validator
+    * message, the reference's defect shape: code, description,
+    * evidence=[category, location], severity).
+    */
+  def tidyDefects(run: CrawlRun): DataFrame =
+    run.defects.filter(col("typeName").startsWith("tidy:"))
+      .join(broadcast(tidyCodes(run)), Seq("typeName"))
+      .select(col("code"), col("desc"), col("evidence"), col("severity"),
+        col("responseSeq"), col("popPos"), col("sub"))
+      .orderBy(col("popPos"), col("sub"))
+
   /** G4 headers per transaction (database.py:66-71 log_header view). */
   def headerReport(run: CrawlRun): DataFrame =
     run.headers.orderBy(col("seq"), col("name"))

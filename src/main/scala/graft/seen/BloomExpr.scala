@@ -15,7 +15,13 @@ import org.apache.spark.util.sketch.BloomFilter
 object BloomCache {
   private val cache = new java.util.concurrent.ConcurrentHashMap[Long, BloomFilter]()
   def get(b: Broadcast[Array[Byte]]): BloomFilter = {
-    if (cache.size > 8) cache.clear() // bound memory across many rounds
+    // bound memory across many rounds by evicting the ELDEST broadcast
+    // ids (monotonically increasing), never the whole cache — a full
+    // clear() let concurrent probes thrash re-deserialization
+    if (cache.size > 8) {
+      import scala.jdk.CollectionConverters._
+      cache.keySet.asScala.toSeq.sorted.dropRight(4).foreach(cache.remove)
+    }
     cache.computeIfAbsent(b.id, _ => UrlSeen.deserialize(b.value))
   }
 }

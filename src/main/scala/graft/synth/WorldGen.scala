@@ -83,7 +83,15 @@ final case class WorldSpec(
     /** every k-th doc carries html-tag spans exercising the
       * non_semantic_html checker (deprecated tags/attributes,
       * non_semantic_html.py); 0 disables */
-    nonsemEvery: Int = 0)
+    nonsemEvery: Int = 0,
+    /** every k-th doc carries tidy-msg spans (validator messages the
+      * tidy model checker explodes, tidy_html_validator.py:50-83);
+      * 0 disables */
+    tidyEvery: Int = 0,
+    /** every k-th link becomes a css-link to a companion text/css
+      * document carrying css-err spans (tinycss validator,
+      * tinycss_css_validator_plugin.py:19-37); 0 disables */
+    cssEvery: Int = 0)
 
 object WorldGen {
 
@@ -166,12 +174,36 @@ object WorldGen {
           case 2 => ("link", "/" + base.split("/", 4)(3)) // host-relative path
           case _ => ("link", base.replace("p/", "%70/")) // %70 = 'p' (unquote² target)
         }
+      } else if (s.cssEvery > 0 && pmod(m, s.cssEvery) == 4) {
+        ("css-link", cssUrl(s, target))
       } else {
         val kinds = Vector("link", "link", "link", "css-link", "iframe", "frame")
         (kinds(pmod(mix(m, 5L), kinds.size)), docUrl(s, target))
       }
     }
   }
+
+  // ---- validator-model documents (G7 full) ---------------------------
+  def cssUrl(s: WorldSpec, d: Long): String =
+    s"http://${hostName(hostOf(s, d))}/css/$d"
+  def cssDocId(d: Long): String = s"c$d"
+  private val cssReasons = Vector("unexpected token", "unclosed block",
+    "invalid selector", "expected a property name")
+  /** css-err spans: text = reason, media_ref = line number. */
+  def cssDocOf(s: WorldSpec, d: Long): Doc = {
+    val n = pmod(mix(s.seed, 52L, d), 3) // 0..2 errors
+    val errs = (0 until n).map { i =>
+      Span("css-err", cssReasons(pmod(mix(s.seed, 53L, d, i.toLong), cssReasons.size)),
+        (1 + pmod(mix(s.seed, 54L, d, i.toLong), 200)).toString, 10 * i)
+    }
+    Doc(cssDocId(d), errs :+ Span("text", s"body{margin:${pmod(mix(s.seed, 55L, d), 9)}}",
+      null, 1000))
+  }
+  private def cssUrlMap(s: WorldSpec): Seq[UrlMapEntry] =
+    if (s.cssEvery <= 0) Nil
+    else (0L until s.nDocs).map(d =>
+      UrlMapEntry(cssUrl(s, d), cssDocId(d), 200, null, "text/css",
+        40 + pmod(mix(s.seed, 56L, d), 400).toLong, "text/css"))
 
   /** Index of the doc whose spans doc d duplicates (itself if none). */
   def dupSource(s: WorldSpec, d: Long): Long =
@@ -238,6 +270,24 @@ object WorldGen {
     if (s.mailEvery > 0 && pmod(mix(s.seed, 32L, d), s.mailEvery) == 0) {
       buf += Span("mail", s"user${pmod(mix(s.seed, 33L, d), 50)}@example.test", null, o2)
       o2 += 10
+    }
+    if (s.tidyEvery > 0 && pmod(mix(s.seed, 46L, d), s.tidyEvery) == 0) {
+      // tidy-msg spans: text = message description, media_ref =
+      // "category|location" — the parsed shape of a tidylib output line
+      val msgs = Vector(
+        ("Warning", "missing </td> before </tr>"),
+        ("Warning", "trimming empty <p>"),
+        ("Error", "<spacer> is not approved by W3C"),
+        ("Error", "missing quote mark for attribute value"),
+        ("Info", "Document content looks like HTML5"),
+        ("Access", "unparseable category")) // unknown → X codes, sev -1
+      val n = 1 + pmod(mix(s.seed, 47L, d), 3)
+      for (i <- 0 until n) {
+        val (cat, msg) = msgs(pmod(mix(s.seed, 48L, d, i.toLong), msgs.size))
+        val loc = s"line ${1 + pmod(mix(s.seed, 49L, d, i.toLong), 80)} column " +
+          s"${1 + pmod(mix(s.seed, 51L, d, i.toLong), 40)}"
+        buf += Span("tidy-msg", msg, cat + "|" + loc, o2); o2 += 10
+      }
     }
     if (s.nonsemEvery > 0 && pmod(mix(s.seed, 43L, d), s.nonsemEvery) == 0) {
       // html-tag spans: text = tag, media_ref = CSV of present attrs;
@@ -339,7 +389,7 @@ object WorldGen {
     val missing = (0L until 20L).map { k =>
       UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)
     }
-    docs ++ imgs ++ redirects ++ missing ++ sitemapUrlMap(s)
+    docs ++ imgs ++ redirects ++ missing ++ sitemapUrlMap(s) ++ cssUrlMap(s)
   }
 
   def hostInfos(s: WorldSpec): Seq[HostInfo] =
@@ -375,9 +425,13 @@ object WorldGen {
       sitemaps: Map[String, Seq[String]] = Map.empty)
 
   def localWorld(s: WorldSpec): LocalWorld = {
+    val cssDocs =
+      if (s.cssEvery <= 0) Nil
+      else (0L until s.nDocs).map(d => cssDocId(d) -> cssDocOf(s, d))
     val docs = ((0L until s.nDocs).map(d => docId(d) -> docOf(s, d)) ++
       (0L until nImgs(s)).map(i => imgDocId(i) -> imgDocOf(s, i)) ++
-      sitemapHosts(s).map(h => sitemapDocId(h) -> sitemapDocOf(s, h))).toMap
+      sitemapHosts(s).map(h => sitemapDocId(h) -> sitemapDocOf(s, h)) ++
+      cssDocs).toMap
     LocalWorld(docs, urlMapEntries(s).map(e => e.url -> e).toMap,
       hostInfos(s).map(h => h.host -> h).toMap, robotsRules(s),
       sitemapEntries(s).groupBy(_.host).view.mapValues(_.map(_.loc)).toMap)
@@ -395,9 +449,12 @@ object WorldGen {
 
   def sparkWorld(spark: SparkSession, s: WorldSpec): SparkWorld = {
     import spark.implicits._
-    val docs = spark.range(s.nDocs).map(d => docOf(s, d))
+    val docs0 = spark.range(s.nDocs).map(d => docOf(s, d))
       .union(spark.range(nImgs(s)).map(i => imgDocOf(s, i)))
       .union(sitemapHosts(s).map(h => sitemapDocOf(s, h)).toDS())
+    val docs =
+      if (s.cssEvery <= 0) docs0
+      else docs0.union(spark.range(s.nDocs).map(d => cssDocOf(s, d)))
     val urlMap = spark.range(s.nDocs).map(d =>
         UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
           100 + pmod(mix(s.seed, 10L, dupSource(s, d)), 5000).toLong, "text/html",
@@ -413,6 +470,7 @@ object WorldGen {
       .union(spark.range(20).map(k =>
         UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)))
       .union(sitemapUrlMap(s).toDS())
+      .union(cssUrlMap(s).toDS())
     SparkWorld(docs, urlMap, hostInfos(s).toDS(), robotsRules(s).toDS(),
       sitemapEntries(s).toDS())
   }

@@ -84,6 +84,19 @@ object UrlFuncs {
     out.toString
   }
 
+  /** Python urllib.parse.quote_plus: safe='' with space → '+'. */
+  def quotePlus(s: String): String = {
+    if (s == null) return null
+    quote(s, " ").replace(" ", "+")
+  }
+
+  /** Python urllib.parse.urlencode over an ordered pair list
+    * (quote_via=quote_plus default; net.py:200-207 appends this to the
+    * request URL for GET/HEAD with data).
+    */
+  def urlencode(data: Seq[(String, String)]): String =
+    data.map { case (k, v) => quotePlus(k) + "=" + quotePlus(v) }.mkString("&")
+
   /** Python urllib.parse.urldefrag(s)._1 — strip from the first '#'. */
   def defrag(s: String): String = {
     if (s == null) return null

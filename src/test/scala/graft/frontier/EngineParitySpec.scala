@@ -18,6 +18,9 @@ class EngineParitySpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // AQE's per-stage driver round-trips triple tiny-world crawl time
+    // without changing results — plans here are explicitly sized
+    .config("spark.sql.adaptive.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -108,6 +111,12 @@ class EngineParitySpec extends AnyFunSuite {
       .map(c => (c.seq, c.name, c.value, c.secure, c.httpOnly, c.path))
       .sorted.toVector
     assert(gotCookies == expCookies, "cookies mismatch")
+
+    // G6 param rows of accepted pushes (multiset)
+    val gotParams = r.params.collect()
+      .map(x => (x.getLong(0), x.getString(1), x.getString(2))).sorted.toVector
+    val expParams = o.params.map(p => (p.seq, p.key, p.value)).sorted.toVector
+    assert(gotParams == expParams, "params mismatch")
 
     // A3 volume accounting: Σ of the per-round volumeBytes lineage rows
     val gotVolume = (0 to r.lastRound)
@@ -267,6 +276,46 @@ class EngineParitySpec extends AnyFunSuite {
       "seo_meta defects must be limited to the gated host")
   }
 
+  test("parity: validator models (G7: tidy message explode + tinycss css-err)") {
+    val spec = WorldSpec("validator-world", nHosts = 3, nDocs = 40,
+      tidyEvery = 2, cssEvery = 3)
+    val c = cfg(spec).copy(acceptedTypes = Seq("text/html", "image/png", "text/css"))
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+    assert(o.defects.exists(_.defect.typeName.startsWith("tidy:")),
+      "validator world must emit tidy defects")
+    assert(o.defects.exists(_.defect.typeName == "stylesheet"),
+      "validator world must emit stylesheet defects")
+  }
+
+  test("parity: paramed entry points (P15/G6: urlencoded fetch key, param table)") {
+    val spec = WorldSpec("param-world", nHosts = 2, nDocs = 30)
+    val u0 = WorldGen.docUrl(spec, 0)
+    val u1 = WorldGen.docUrl(spec, 1)
+    val entries = Seq(
+      SeedEntry(u0),
+      SeedEntry(u1, "GET", Seq("q" -> "x y", "p" -> "1")), // hits the ?-url
+      SeedEntry(WorldGen.docUrl(spec, 2), "GET", Seq("missing" -> "true")), // neterr
+      SeedEntry(u0, "POST")) // distinct (uri, method) seen key
+    val c = cfg(spec).copy(seeds = Nil, seedEntries = entries)
+    // extend the world: the urlencoded URL resolves like u1 (same doc)
+    val paramUrl = u1 + "?q=x+y&p=1"
+    val lw0 = WorldGen.localWorld(spec)
+    val e1 = lw0.urlMap(u1).copy(url = paramUrl)
+    val lw = lw0.copy(urlMap = lw0.urlMap + (paramUrl -> e1))
+    val oracle = RefCrawlOracle.crawl(lw, c)
+    import spark.implicits._
+    val w0 = world(spec)
+    val w = w0.copy(urlMap = w0.urlMap.unionByName(Seq(e1).toDS().toDF()))
+    val dir = Files.createTempDirectory("crawl-params").toString
+    val run = CrawlDriver.crawl(spark, w, c, dir, bloomMinSeen = 0L)
+    assertParity(oracle, run)
+    assert(oracle.params.map(p => (p.key, p.value)).sorted ==
+      Vector(("missing", "true"), ("p", "1"), ("q", "x y")))
+    // the paramed hit rewrote its primary uri to carry the query string
+    assert(oracle.transactions.values.exists(_.uri == paramUrl))
+  }
+
   test("parity holds without the bloom prefilter (exact band alone)") {
     val spec = WorldSpec("dedup-web", nHosts = 3, nDocs = 25, variantEvery = 2)
     val (o, r) = runBoth(spec, cfg(spec), useBloom = false)
@@ -283,6 +332,14 @@ class EngineParitySpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("crawl-distboot").toString
     val run = CrawlDriver.crawl(spark, world(spec), c, dir, distBootstrapMin = 1)
     assertParity(oracle, run)
+    // the distributed seedSource path (i, raw) must be identical
+    import spark.implicits._
+    val src = spark.createDataset(seeds.zipWithIndex.map { case (u, i) => (i.toLong, u) })
+      .toDF("i", "raw")
+    val dir2 = Files.createTempDirectory("crawl-seedsrc").toString
+    val run2 = CrawlDriver.crawl(spark, world(spec), c.copy(seeds = Nil), dir2,
+      seedSource = Some(src))
+    assertParity(oracle, run2)
   }
 
   test("parity: deep crawl (30+ rounds) with periodic state compaction") {

@@ -19,11 +19,12 @@ class ReportSpec extends AnyFunSuite {
     .master("local[4]")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "false")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
   private lazy val spec = WorldSpec("report-world", nHosts = 3, nDocs = 25,
-    redirectEvery = 4, metaEvery = 2, mailEvery = 5, imgEvery = 3)
+    redirectEvery = 4, metaEvery = 2, mailEvery = 5, imgEvery = 3, tidyEvery = 2)
   private lazy val cfg = CrawlConfig(seeds = WorldGen.seeds(spec),
     acceptedTypes = Seq("text/html", "image/png"))
   private lazy val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), cfg)
@@ -87,6 +88,29 @@ class ReportSpec extends AnyFunSuite {
     assert(y.contains("\nlinks:\n") && y.contains("\ndefects:\n"))
     val txLines = y.linesIterator.count(_.startsWith("- seq: "))
     assert(txLines == oracle.transactions.size)
+  }
+
+  test("tidyCodes (A5/G7): serial per-letter counters, Error pinned at E0 (ref typo)") {
+    // serial twin of tidy_html_validator.__get_code over the oracle's
+    // emission order
+    val maxes = scala.collection.mutable.Map('W' -> 0, 'I' -> 0, 'X' -> 0)
+    val codes = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (d <- oracle.defects.sortBy(x => (x.popPos, x.phase, x.sub))
+         if d.defect.typeName.startsWith("tidy:")) {
+      val cat = d.defect.typeName.split(":", 3)(1)
+      val desc = d.defect.typeName.split(":", 3)(2)
+      if (!codes.contains(desc)) {
+        val letter = if (Set("Warning", "Error", "Info")(cat)) cat.head else 'X'
+        val code =
+          if (letter == 'E') "E0" // _max_err typo: never increments
+          else { val n = maxes(letter); maxes(letter) = n + 1; s"$letter$n" }
+        codes(desc) = code
+      }
+    }
+    assert(codes.nonEmpty, "report world must emit tidy messages")
+    val got = Report.tidyCodes(run).collect()
+      .map(r => r.getString(1) -> r.getString(0)).toMap
+    assert(got == codes.toMap, s"got $got expected $codes")
   }
 
   test("linkStats (A2) totals match the oracle link multiset") {
