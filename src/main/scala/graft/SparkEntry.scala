@@ -257,6 +257,24 @@ object SparkEntry {
       DedupOps.simhashNearDups(t(s, dir, "documents"), "text", "doc_id", maxDist = 6)
         .orderBy(col("idA"), col("idB"))),
 
+    // SimHash recall pinned by a DuckDB oracle: planted exact copies
+    // have identical sketches (hamming 0, every 16-bit chunk shared),
+    // so the banded join MUST surface each planted pair. The output is
+    // restricted to the planted id-pairs because natural hamming-0
+    // collisions of a 64-bit simhash are sf-dependent (birthday at
+    // corpus scale); the natural-pair behavior rides dd_simhash_pairs.
+    "dd_simhash_planted" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      DedupOps.simhashNearDups(docs.unionByName(planted), "text", "doc_id",
+        maxDist = 0)
+        .filter(col("idB") - col("idA") === 1000000L &&
+          pmod(col("idA"), lit(10)) === 0)
+        .select(col("idA"), col("idB"), col("hamming").cast("long").as("hamming"))
+        .orderBy(col("idA"), col("idB"))
+    }),
+
     "dd_ngram_jaccard" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val base = docs.filter(col("doc_id") === 0)
@@ -296,11 +314,33 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // NOTE: lshTopK defaults moved round 3 from (bands=8, chunkBits=8)
+    // to (16, 16) — a different (larger-recall, far smaller-candidate)
+    // candidate set; this query intentionally tracks the defaults
     "ann_lsh_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
       val q = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head().getSeq[Float](0)
       SimilarityOps.lshTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", q, 10)
+    }),
+
+    // LSH top-k recall pinned by a DuckDB oracle: 10 exact copies of
+    // the probe vector are planted at ids 2000000..2000009 (cos 1.0;
+    // identical vectors share EVERY band chunk, so the bucket join
+    // finds them with certainty). k = 10 exactly fits the planted set,
+    // and cos 1.0 beats every natural vector (max natural cos ≈ 0.6),
+    // so the top-k id set is deterministic — the planted ids.
+    "ann_lsh_planted" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head().getSeq[Float](0)
+      val copies = s.range(10).select((col("id") + 2000000L).as("vec_id"),
+        typedLit(q).as("embedding"))
+      SimilarityOps.lshTopK(
+        e.filter(col("vec_id") =!= 0).select(col("vec_id"), col("embedding"))
+          .unionByName(copies),
+        "embedding", "vec_id", q, 10)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
     // ================= text analysis =================================
@@ -553,6 +593,13 @@ object SparkEntry {
       """SELECT doc_id AS idA, doc_id + 1000000 AS idB, CAST(1.0 AS DOUBLE) AS jaccard
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY idA, idB""".stripMargin,
 
+    "dd_simhash_planted" ->
+      """SELECT doc_id AS idA, doc_id + 1000000 AS idB, CAST(0 AS BIGINT) AS hamming
+        |FROM documents WHERE doc_id % 10 = 0 ORDER BY idA, idB""".stripMargin,
+
+    "ann_lsh_planted" ->
+      """SELECT 2000000 + i AS vec_id FROM range(10) t(i) ORDER BY vec_id""".stripMargin,
+
     "dd_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -626,6 +673,16 @@ object SparkEntry {
 
     "tx_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same base-31 rolling hash mod 1e9+7 over the normalized chars;
+    // h stays < 1e9 so h*31 + c fits BIGINT on both engines
+    "tx_fingerprint64" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(0::BIGINT,
+        |    [ascii(c)::BIGINT for c in
+        |     str_split(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), '')]),
+        |  (h, c) -> (h * 31 + c) % 1000000007) AS fp64
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "ev_window_agg" ->

@@ -335,14 +335,26 @@ object CrawlDriver {
         asDelta("lineage", round, out.lineage)
       ).reduce(_ unionByName _).coalesce(parts)
       val tW = System.nanoTime()
-      store.writeDelta(round, delta)
-
-      // ---- job 2: tiny lineage read-back for the O(1) counters --------
+      // the O(1) counters ride the write job itself as observed metrics
+      // (CollectMetrics): per-partition lineage rows are durable INSIDE
+      // the delta (kind=lineage), and the former read-back job — one
+      // extra scan + collect per round, pure core-count-independent
+      // critical path — is gone. The manifest records the totals.
+      val lineageMetricNames =
+        Seq("frontierIn", "fetched", "discovered", "deduped", "frontierOut",
+          "volumeBytes")
+      val obs = org.apache.spark.sql.Observation(s"lineage-$round")
+      val metricCols = lineageMetricNames.map(mn =>
+        sum(when(col("kind") === "lineage" && col("s0") === mn, col("l0")))
+          .as(mn))
+      store.writeDelta(round,
+        delta.observe(obs, metricCols.head, metricCols.tail: _*))
       val tL = System.nanoTime()
-      val lineageRows = store.kindOf(round, "lineage")
-        .select("metric", "partition", "count").collect()
-        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
-      def metric(name: String): Long = lineageRows.filter(_._1 == name).map(_._3).sum
+      val observed = obs.get
+      def metric(name: String): Long =
+        Option(observed.getOrElse(name, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
+      val lineageRows: Seq[(String, Int, Long)] =
+        lineageMetricNames.map(mn => (mn, 0, metric(mn)))
       // every scheme-passing link consumed a seq (dups and over-limit
       // drops included) — the "discovered" lineage metric counts exactly
       // those (kids2), so it advances the idno counter
@@ -376,8 +388,15 @@ object CrawlDriver {
       if (doCompact) {
         def compact(parts: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit = {
           // materialize the union into one checkpointed leaf (cached
-          // blocks, truncated lineage), then release the per-round parts
-          val merged = parts.reduce(_ unionByName _).localCheckpoint()
+          // blocks, truncated lineage), then release the per-round parts.
+          // localCheckpoint blocks live in executor block managers and
+          // die with a lost executor — on a cluster the truncated
+          // lineage would make the cumulative state unrecoverable, so
+          // use the reliable checkpoint there (same rule as f5c).
+          val u = parts.reduce(_ unionByName _)
+          val merged =
+            if (spark.sparkContext.isLocal) u.localCheckpoint()
+            else u.checkpoint()
           parts.foreach(_.unpersist(blocking = false))
           parts.clear()
           parts += merged

@@ -84,8 +84,8 @@ object SimilarityOps {
     * index, not a partial scan (the former 8-bit default matched ~N/256
     * per band ≈ N/32 candidates total, a 32× scan reduction that would
     * still touch 3·10^8 rows at 10^10 scale). Recall for high-cosine
-    * targets: p_band ≈ (1 − θ/π)^16 ≈ 0.37 at cos 0.97, so across 16
-    * bands P(≥1 hit) ≈ 1 − 0.63^16 ≈ 99.9%; exact duplicates always
+    * targets: p_band ≈ (1 − θ/π)^16 ≈ 0.27 at cos 0.97, so across 16
+    * bands P(≥1 hit) ≈ 1 − 0.73^16 ≈ 99.4%; exact duplicates always
     * collide. At 10^10 vectors the bucket join replaces the full scan.
     */
   def lshTopK(df: DataFrame, vecCol: String, idCol: String,

@@ -93,9 +93,13 @@ object TextOps {
   def fingerprint64(text: Column): Column = {
     val norm = regexp_replace(lower(text), "[^a-z0-9]", "")
     // aggregate over code points: h = (h*31 + c) mod p — the modulus
-    // keeps the product inside long range (ANSI mode forbids wrapping)
+    // keeps the product inside long range (ANSI mode forbids wrapping).
+    // split("") may emit a trailing "" element; it is filtered so the
+    // hash is a pure function of the normalized characters (and matches
+    // engines whose char-split emits no empty tail)
     aggregate(
-      transform(split(norm, ""), ch => ascii(ch).cast("long")),
+      transform(filter(split(norm, ""), ch => length(ch) > 0),
+        ch => ascii(ch).cast("long")),
       lit(0L),
       (h, c) => pmod(h * lit(31L) + c, lit(1000000007L)))
   }

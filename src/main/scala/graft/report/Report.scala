@@ -118,17 +118,26 @@ object Report {
     val d = run.defects.filter(col("typeName").startsWith("tidy:"))
       .withColumn("cat", split(col("typeName"), ":").getItem(1))
       .withColumn("desc", regexp_replace(col("typeName"), "^tidy:[^:]*:", ""))
-    val letter = when(col("cat").isin("Warning", "Error", "Info"),
-      substring(col("cat"), 1, 1)).otherwise(lit("X"))
-    d.groupBy(col("typeName"), col("cat"), col("desc"))
-      .agg(min(struct(col("popPos"), col("phase"), col("sub"))).as("firstSeen"))
-      .withColumn("letter", letter)
+    // __get_code keys self.__codes by desc ALONE (tidy_html_validator
+    // .py:86-110): a desc first emitted as Warning and later re-emitted
+    // as Error keeps the W-code. The letter therefore comes from the
+    // category of the desc's FIRST emission (min over the total
+    // emission order; `cat` rides along in the struct).
+    val codes = d
+      .groupBy(col("desc"))
+      .agg(min(struct(col("popPos"), col("phase"), col("sub"), col("cat")))
+        .as("firstSeen"))
+      .withColumn("letter",
+        when(col("firstSeen.cat").isin("Warning", "Error", "Info"),
+          substring(col("firstSeen.cat"), 1, 1)).otherwise(lit("X")))
       .withColumn("num",
         when(col("letter") === "E", lit(0)) // reference _max_err typo
           .otherwise(row_number().over(
             Window.partitionBy(col("letter")).orderBy(col("firstSeen"))) - 1))
-      .select(concat(col("letter"), col("num")).as("code"), col("desc"),
-        col("typeName"))
+      .select(concat(col("letter"), col("num")).as("code"), col("desc"))
+    d.select(col("typeName"), col("desc")).distinct()
+      .join(codes, Seq("desc"))
+      .select(col("code"), col("desc"), col("typeName"))
   }
 
   /** G7 tidy validator rows with resolved codes (one row per validator

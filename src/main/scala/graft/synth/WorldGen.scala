@@ -174,7 +174,7 @@ object WorldGen {
           case 2 => ("link", "/" + base.split("/", 4)(3)) // host-relative path
           case _ => ("link", base.replace("p/", "%70/")) // %70 = 'p' (unquote² target)
         }
-      } else if (s.cssEvery > 0 && pmod(m, s.cssEvery) == 4) {
+      } else if (s.cssEvery > 0 && pmod(mix(m, 9L), s.cssEvery) == 0) {
         ("css-link", cssUrl(s, target))
       } else {
         val kinds = Vector("link", "link", "link", "css-link", "iframe", "frame")
@@ -280,7 +280,11 @@ object WorldGen {
         ("Error", "<spacer> is not approved by W3C"),
         ("Error", "missing quote mark for attribute value"),
         ("Info", "Document content looks like HTML5"),
-        ("Access", "unparseable category")) // unknown → X codes, sev -1
+        ("Access", "unparseable category"), // unknown → X codes, sev -1
+        // same DESC under a second category: __get_code keys by desc
+        // alone, so this must reuse whatever code "trimming empty <p>"
+        // got at its first emission (tidy_html_validator.py:86-110)
+        ("Error", "trimming empty <p>"))
       val n = 1 + pmod(mix(s.seed, 47L, d), 3)
       for (i <- 0 until n) {
         val (cat, msg) = msgs(pmod(mix(s.seed, 48L, d, i.toLong), msgs.size))

@@ -108,6 +108,14 @@ class ReportSpec extends AnyFunSuite {
       }
     }
     assert(codes.nonEmpty, "report world must emit tidy messages")
+    // the desc-keyed quirk is only tested if SOME desc shows up under
+    // two categories (WorldGen plants "trimming empty <p>" as both
+    // Warning and Error)
+    val catsPerDesc = oracle.defects.map(_.defect.typeName)
+      .filter(_.startsWith("tidy:")).map(_.split(":", 3))
+      .groupBy(_(2)).map { case (d, rows) => d -> rows.map(_(1)).toSet }
+    assert(catsPerDesc.exists(_._2.size > 1),
+      "world must emit at least one desc under two categories")
     val got = Report.tidyCodes(run).collect()
       .map(r => r.getString(1) -> r.getString(0)).toMap
     assert(got == codes.toMap, s"got $got expected $codes")
