@@ -69,9 +69,19 @@ object BenchOne {
     val cp = System.getProperty("java.class.path")
     val opens = java.lang.management.ManagementFactory.getRuntimeMXBean
       .getInputArguments.asScala.filter(_.startsWith("--add-opens")).mkString(" ")
+    val shmDir = {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory && shm.canWrite) {
+        val d = new java.io.File(shm, s"graft-b1-${ProcessHandle.current().pid()}")
+        d.mkdirs(); d.deleteOnExit(); d.getAbsolutePath
+      } else System.getProperty("java.io.tmpdir")
+    }
     val spark = SparkSession.builder().master(master)
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("BENCH1_PARTS", "64"))
       .config("spark.sql.adaptive.enabled", sys.env.getOrElse("BENCH1_AQE", "true"))
+      .config("spark.local.dir", shmDir)
+      .config("spark.sql.autoBroadcastJoinThreshold",
+        sys.env.getOrElse("BENCH1_AUTOBCAST", "-1"))
       .config("spark.executor.extraClassPath", cp)
       .config("spark.executor.extraJavaOptions", opens)
       .config("spark.jars", sys.env.getOrElse("BENCH1_JAR", ""))

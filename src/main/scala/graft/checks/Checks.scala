@@ -100,13 +100,6 @@ object Checks {
       s"${s.kind}${Option(s.text).getOrElse("")}${Option(s.media_ref).getOrElse("")}")
       .mkString("")
 
-  /** Column twin of [[bodyString]] over a sorted spans array column. */
-  def bodyStringCol(spansSorted: Column): Column =
-    concat_ws("", transform(spansSorted, s =>
-      concat_ws("", coalesce(s.getField("kind"), lit("")),
-        coalesce(s.getField("text"), lit("")),
-        coalesce(s.getField("media_ref"), lit("")))))
-
   private def ofKind(spansSorted: Column, k: String): Column =
     filter(spansSorted, s => s.getField("kind") === k)
 
@@ -133,9 +126,40 @@ object Checks {
     * contribution is individually gated by its F12 (contentTypes ×
     * uriRegex) dispatch table over (`ct`, `uri`).
     */
-  def pageDefectsArr(sp: Column, ct: Column, uri: Column, cfg: CrawlConfig): Column = {
-    def gated(plugin: String, arr: Column): Column =
-      filter(arr, _ => gateCol(cfg, plugin, ct, uri))
+  def pageDefectsArr(sp: Column, ct: Column, uri: Column, cfg: CrawlConfig): Column =
+    gateDefects(pageDefectsPre(sp), ct, uri, cfg)
+
+  /** Applies the F12 dispatch gates to a precomputed tagged defect array
+    * ([[pageDefectsPre]]): whole plugin groups survive or vanish based
+    * on the page's (contentType, primary URI) at transaction time, then
+    * the tag is stripped so downstream sees the classic
+    * struct(phase,typeName,evidence,severity,sub) shape. Gating is
+    * all-or-nothing per plugin, so the precomputed within-plugin `sub`
+    * indices stay valid.
+    */
+  def gateDefects(preDef: Column, ct: Column, uri: Column, cfg: CrawlConfig): Column =
+    transform(
+      filter(preDef, d => checkerPlugins.foldRight(lit(false)) { case (p, rest) =>
+        when(d.getField("plugin") === p, gateCol(cfg, p, ct, uri)).otherwise(rest)
+      }),
+      d => struct(d.getField("phase").as("phase"),
+        d.getField("typeName").as("typeName"),
+        d.getField("evidence").as("evidence"),
+        d.getField("severity").as("severity"),
+        d.getField("sub").as("sub")))
+
+  /** The plugin tags [[pageDefectsPre]] emits, in emission-group order. */
+  val checkerPlugins: Seq[String] = Seq("css_scraper", "seo_meta", "no_script",
+    "seo_images", "mailer", "non_semantic_html", "tidyHtmlValidator", "tinycss")
+
+  /** The per-page checker defect array, UNGATED and tagged with the
+    * emitting plugin: struct(plugin,phase,typeName,evidence,severity,
+    * sub). A pure function of the page's spans — precomputed once per
+    * document in the prepared world (CrawlRound.prepare), so the heavy
+    * text spans never ride the per-round join/cache; the round applies
+    * the transaction-dependent F12 gates via [[gateDefects]].
+    */
+  def pageDefectsPre(sp: Column): Column = {
     import org.apache.spark.sql.types.StringType
 
     def mk(phase: Int, name: String, evidence: Column, sev: Double): Column =
@@ -251,12 +275,17 @@ object Checks {
         concat(lit("["), s.getField("media_ref"), lit(", "),
           s.getField("text"), lit("]")), 0.7)))
 
+    def tag(plugin: String, arr: Column): Column = transform(arr, d =>
+      struct(lit(plugin).as("plugin"), d.getField("phase").as("phase"),
+        d.getField("typeName").as("typeName"), d.getField("evidence").as("evidence"),
+        d.getField("severity").as("severity"), d.getField("sub").as("sub")))
+
     concat(
-      gated("css_scraper", huge), gated("css_scraper", inlineDup),
-      gated("seo_meta", meta), gated("no_script", scripts),
-      gated("seo_images", imgs), gated("mailer", mails),
-      gated("non_semantic_html", nonsem),
-      gated("tidyHtmlValidator", tidy), gated("tinycss", cssErrs))
+      tag("css_scraper", huge), tag("css_scraper", inlineDup),
+      tag("seo_meta", meta), tag("no_script", scripts),
+      tag("seo_images", imgs), tag("mailer", mails),
+      tag("non_semantic_html", nonsem),
+      tag("tidyHtmlValidator", tidy), tag("tinycss", cssErrs))
   }
 
   /** Mail defect description twin for the oracle. */

@@ -121,10 +121,12 @@ object CrawlDriver {
       .withColumn("canon", url_defrag(col("decoded")))
     // first occurrence per canon via partial-aggregating groupBy (map-
     // side combine, no per-partition sort); i is unique so min(struct)
-    // is the deterministic winner
+    // is the deterministic winner. Cached: the bounded rank's offsets
+    // broadcast would otherwise re-execute the whole seed scan+groupBy
     val first = raw.groupBy(col("canon"))
       .agg(min(struct(col("i"), col("decoded"))).as("f"))
       .select(col("f.i").as("i"), col("canon"), col("f.decoded").as("decoded"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // bounded rank on the known index range — no sampling pass (a
     // repartitionByRange would re-scan the seed set to sample bounds)
     val ranked = Ranks.withBoundedRank(first, Seq(col("i")), "pos",
@@ -149,6 +151,7 @@ object CrawlDriver {
       .coalesce(parts))
     val tC = System.nanoTime()
     val n = store.kindOf(-1, "frontier").count()
+    first.unpersist(blocking = false)
     if (sys.env.contains("SPARK_GRAFT_TRACE"))
       println(f"[bootstrap] write=${(tC - tW) / 1e9}%.1fs " +
         f"count=${(System.nanoTime() - tC) / 1e9}%.1fs")
@@ -304,13 +307,28 @@ object CrawlDriver {
 
     // ---- incremental seen-bloom (fixed capacity so per-round delta
     // blooms merge bit-for-bit; oversize seen just raises the FP rate,
-    // which only costs extra exact-verify work — never correctness) ----
+    // which only costs extra exact-verify work — never correctness).
+    // Built/merged ASYNCHRONOUSLY on a daemon thread: the bloom job
+    // rides the executor pool concurrently with the next round's
+    // checkpoint job, so its wall time leaves the per-round fixed
+    // critical path; run() forces the future only where the dedup
+    // stage needs the bytes (correct by construction — the merge always
+    // covers every delta up to the previous round before it is used).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val bloomEc = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "graft-bloom-merge"); t.setDaemon(true); t
+      }))
     var bloomCapacity = math.max(4L * math.max(bloomMinSeen, 1L), 1L << 20)
-    var bloomF: Option[BloomFilter] =
-      if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L))
-        Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
-          UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
-      else None
+    def fullBloom(src: DataFrame, cap: Long): Option[BloomFilter] =
+      Some(UrlSeen.deserialize(UrlSeen.buildBloom(src,
+        UrlSeen.seenKey(col("uri"), col("method")), cap)))
+    var bloomFut: Future[Option[BloomFilter]] =
+      if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L)) {
+        val src = seenCum; val cap = bloomCapacity
+        Future(fullBloom(src, cap))(bloomEc)
+      } else Future.successful(None)
 
     while (c.frontierCount > 0 && (cfg.maxRounds <= 0 || c.round + 1 < cfg.maxRounds)) {
       val round = c.round + 1
@@ -318,7 +336,7 @@ object CrawlDriver {
       val out = CrawlRound.run(spark, world, cfg,
         CrawlRound.RoundIn(round, frontier, seenCum, hostState, dupCum, mapsCum,
           c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount,
-          bloomF.map(bloomToBytes)))
+          () => Await.result(bloomFut, Duration.Inf).map(bloomToBytes)))
 
       // ---- job 1: the merged delta write ------------------------------
       val delta = Seq(
@@ -384,7 +402,6 @@ object CrawlDriver {
         .persist(MEMORY_AND_DISK)
 
       // ---- every K rounds: compact cumulative parts to one table ------
-      var bloomRebuilt = false
       if (doCompact) {
         def compact(parts: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit = {
           // materialize the union into one checkpointed leaf (cached
@@ -402,29 +419,36 @@ object CrawlDriver {
           parts += merged
         }
         compact(seenParts); compact(dupParts); compact(mapParts)
-        // bloom re-size: keep capacity ≥ 4× the seen count so the FP
-        // rate stays at design level as the crawl deepens; the rebuild
-        // scans the full (just-compacted) seen table, so it already
-        // contains this round's delta
-        if (useBloom && bloomF.isDefined && c.seenCount > bloomCapacity / 4) {
-          bloomCapacity = 4L * c.seenCount
-          bloomF = Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
-            UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
-          bloomRebuilt = true
-        }
       }
 
-      // ---- incremental bloom: merge the round's delta (unless a
-      // compaction rebuild above already covers it — a bloom MISSING a
-      // seen key would wrongly bypass the exact anti-join) -------------
-      if (bloomRebuilt) ()
-      else if (useBloom && acceptedCount > 0) bloomF match {
+      // ---- bloom maintenance, dispatched async (awaited by the NEXT
+      // round's dedup-stage construction, so the job overlaps the next
+      // round's checkpoint job). The previous future is already complete
+      // here — this round's run() forced it. Order of preference:
+      // compaction re-size (keep capacity ≥ 4× seen so the FP rate
+      // stays at design level; the rebuild scans the just-compacted
+      // seen table, which already contains this round's delta) →
+      // delta merge → late first build — a bloom MISSING a seen key
+      // would wrongly bypass the exact anti-join, so every path covers
+      // all deltas up to this round.
+      val prevBloom = Await.result(bloomFut, Duration.Inf)
+      val seenCumNow = seenCum
+      if (doCompact && useBloom && prevBloom.isDefined &&
+          c.seenCount > bloomCapacity / 4) {
+        bloomCapacity = 4L * c.seenCount
+        val cap = bloomCapacity
+        bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
+      } else if (useBloom && acceptedCount > 0) prevBloom match {
         case Some(b) =>
-          b.mergeInPlace(UrlSeen.deserialize(UrlSeen.buildBloom(seenDelta,
-            UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
+          val cap = bloomCapacity
+          bloomFut = Future({
+            b.mergeInPlace(UrlSeen.deserialize(UrlSeen.buildBloom(seenDelta,
+              UrlSeen.seenKey(col("uri"), col("method")), cap)))
+            Some(b)
+          })(bloomEc)
         case None if c.seenCount >= math.max(bloomMinSeen, 1L) =>
-          bloomF = Some(UrlSeen.deserialize(UrlSeen.buildBloom(seenCum,
-            UrlSeen.seenKey(col("uri"), col("method")), bloomCapacity)))
+          val cap = bloomCapacity
+          bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
         case None => ()
       }
 

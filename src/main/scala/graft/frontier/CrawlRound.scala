@@ -35,8 +35,17 @@ object CrawlRound {
 
   /** Round-invariant world prep, computed once per crawl: redirects
     * pre-resolved into the fetch table (single join per round instead of
-    * two) and robots rules pre-grouped per host. `hasDelays` lets the
-    * round skip the whole politeness machinery (host-state join +
+    * two), robots rules pre-grouped per host, and — the big one — the
+    * documents PARSED ONCE into a slim per-doc feature row (`docs` here
+    * is the SLIM table): link-ish spans, body hash, canonical target,
+    * and the ungated tagged checker-defect array
+    * ([[graft.checks.Checks.pageDefectsPre]]). The heavy text spans are
+    * consumed in this single pass and never materialize in the
+    * per-round join/cache — at 100 TB the parse is one streaming pass
+    * over the corpus and every BSP round moves only extracted features,
+    * which is also what keeps the round pipeline inside the machine's
+    * memory bandwidth at high core counts. `hasDelays` lets the round
+    * skip the whole politeness machinery (host-state join +
     * first-success aggregation) for worlds without crawl delays.
     */
   case class PreparedWorld(docs: DataFrame, fetchMap: DataFrame, hosts: DataFrame,
@@ -45,8 +54,6 @@ object CrawlRound {
         * declared iteration order for robots.py:76-80's set diff);
         * null => world has no sitemaps table */
       sitemapsAgg: DataFrame = null)
-
-  private[frontier] val ScannerTypes = Seq("application/gzip", "text/xml", "application/xml")
 
   private val cookieArrayType =
     "array<struct<name:string,value:string,secure:boolean,httpOnly:boolean,path:string>>"
@@ -82,7 +89,46 @@ object CrawlRound {
       if (w.sitemaps == null) null
       else w.sitemaps.groupBy("host")
         .agg(sort_array(collect_list(col("loc"))).as("slocs"))
-    PreparedWorld(w.docs, fetchMap,
+    // ---- one-pass parse: heavy spans → slim per-doc features ---------
+    val sortedSpans = expr(
+      "array_sort(spans, (l, r) -> case when l.offset < r.offset then -1 " +
+        "when l.offset > r.offset then 1 else 0 end)")
+    val docsSlim = w.docs
+      .withColumn("spansSorted", sortedSpans)
+      .select(col("doc_id"),
+        // G1 candidates: (kind, href) of link-ish spans in doc order —
+        // the round joins the page's primary URI on and filters by
+        // scheme to get the dense per-parent child index
+        transform(filter(col("spansSorted"),
+            sp => sp.getField("kind").isInCollection(LinkKinds)),
+          sp => struct(sp.getField("kind").as("kind"),
+            sp.getField("text").as("href"))).as("linkSpans"),
+        // G2 candidates: raw <loc> texts in doc order (pushed verbatim,
+        // sitemap_scanner.py:118-124) — prefiltered to http(s), the
+        // same gate the explode applies
+        filter(transform(filter(col("spansSorted"),
+            sp => sp.getField("kind") === "sitemap-loc"),
+          sp => sp.getField("text")), t => url_is_http(t))
+          .as("locsRaw"),
+        // A7 record-count input: UNfiltered loc count
+        size(filter(col("spansSorted"),
+          sp => sp.getField("kind") === "sitemap-loc")).as("nlocs"),
+        // dup-detection content key: an incremental fold over the spans
+        // (xxhash64 chaining) instead of hashing a materialized
+        // concatenation — the page body never exists as one string, so
+        // the parse pass allocates O(1) per span. Any deterministic
+        // body-equality key works here: the oracle's serial twin
+        // compares the actual body (Checks.bodyString), so parity is
+        // independent of the hash function.
+        aggregate(col("spansSorted"), lit(42L),
+          (h, s) => xxhash64(h, s.getField("kind"), s.getField("text"),
+            s.getField("media_ref"))).as("bhash0"),
+        try_element_at(filter(col("spansSorted"),
+          s => s.getField("kind") === "canonical"), lit(1))
+          .getField("text").as("canonText"),
+        Checks.pageDefectsPre(col("spansSorted")).as("preDef"),
+        lit(true).as("hasSpans"))
+    PreparedWorld(docsSlim, fetchMap,
       w.hosts.select(col("host"), col("crawl_delay_s").as("d")), rulesAgg,
       sitemapsAgg = smAgg)
   }
@@ -97,7 +143,10 @@ object CrawlRound {
       nextSeq: Long, nextPos: Long, seenCount: Long,
       /** frontier pos range [posLo, nextPos) — bounded-rank bucket keys */
       posLo: Long,
-      seenBloom: Option[Array[Byte]])
+      /** thunk, not bytes: the driver merges the seen-bloom
+        * ASYNCHRONOUSLY (the merge job overlaps this round's checkpoint
+        * job); run() forces it only when the dedup stage is built */
+      seenBloom: () => Option[Array[Byte]])
 
   case class RoundOut(
       frontierOut: DataFrame,
@@ -184,7 +233,7 @@ object CrawlRound {
       .map(m => col("finLen") > m).getOrElse(lit(false))
     val f3 = f2.withColumn("fetchClass",
       when(col("gate") =!= "pass", col("gate"))
-        .when(!url_scheme(col("uriN")).isin("http", "https"), "scheme")
+        .when(!url_is_http(col("uriN")), "scheme")
         .when(col("url").isNull, "neterr")
         .when(col("finStatus") =!= 200, "badstatus")
         .when(!col("ct").isin(cfg.acceptedTypes: _*), "cttype")
@@ -222,15 +271,10 @@ object CrawlRound {
                 col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))))
     }
 
-    // ---- body (J6b: docs join) + canonical-span rewrite (P8) ---------
-    val sortedSpans = expr(
-      "array_sort(spans, (l, r) -> case when l.offset < r.offset then -1 " +
-        "when l.offset > r.offset then 1 else 0 end)")
+    // ---- body (J6b: slim per-doc feature join; the heavy spans were
+    // parsed once in prepare and never enter the round) ----------------
     val f5 = f4
       .join(world.docs, f4("finDocId") === world.docs("doc_id"), "left")
-      .withColumn("spansSorted", sortedSpans)
-      .withColumn("canonSpan",
-        try_element_at(filter(col("spansSorted"), s => s.getField("kind") === "canonical"), lit(1)))
       // primary-URI rewrite chain: redirect → `Link: rel=canonical`
       // response header (P7, canonical.py:22-28) → body canonical span
       .withColumn("uriHdr",
@@ -242,30 +286,39 @@ object CrawlRound {
       // the pre-rewrite primary uri (uriHdr), like the reference's
       // accept(transaction, plugin) at dispatch time
       .withColumn("uriOk",
-        when(col("canonSpan").isNotNull &&
+        when(col("canonText").isNotNull &&
             Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")),
-          url_defrag(col("canonSpan").getField("text")))
+          url_defrag(col("canonText")))
           .otherwise(col("uriHdr")))
+      // the precomputed tagged defect array needs only the
+      // transaction-dependent F12 gates applied (ct × primary uri)
       .withColumn("defArr",
-        when(col("fetchClass") === "ok" &&
-          col("spansSorted").isNotNull && !col("defer"),
-          Checks.pageDefectsArr(col("spansSorted"), col("ct"), col("uriOk"), cfg)))
-      // slim the checkpoint row: downstream only needs the link-ish
-      // spans, the body hash (dupdetect key) and the defect array — the
-      // bulk text spans would otherwise dominate checkpoint memory.
+        when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer"),
+          Checks.gateDefects(col("preDef"), col("ct"), col("uriOk"), cfg)))
       // reached200 (the G5/badtype gate) is precomputed so the fetch-
       // resolution columns (url/uriN/redirect/canonical) can be dropped
       // from the checkpoint row entirely
       .withColumn("reached200", (col("gate") === "pass") &&
-        url_scheme(col("uriN")).isin("http", "https") &&
+        url_is_http(col("uriN")) &&
         col("url").isNotNull && (col("finStatus") === 200))
-      .withColumn("hasSpans", col("spansSorted").isNotNull)
-      .withColumn("bhash0",
-        when(col("spansSorted").isNotNull, xxhash64(Checks.bodyStringCol(col("spansSorted")))))
-      .withColumn("linkSpans", filter(col("spansSorted"),
-        sp => sp.getField("kind").isInCollection(LinkKinds :+ "sitemap-loc")))
-      .drop("doc_id", "spans", "spansSorted", "rrules",
-        "canonSpan", "uriN", "fetchKey", "finalUrl", "redirTarget", "finCanon",
+      .withColumn("hasSpans", coalesce(col("hasSpans"), lit(false)))
+      // G1/G2 kid candidate arrays, gates baked in — size() is the
+      // per-parent count the seq arithmetic needs and posexplode's
+      // index is the dense within-parent order, BY CONSTRUCTION the
+      // same array for both
+      .withColumn("kidArr",
+        when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer") &&
+            Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")),
+          filter(transform(col("linkSpans"), s =>
+            struct(s.getField("kind").as("kind"),
+              url_join(col("uriOk"), s.getField("href")).as("joined"))),
+            x => url_is_http(x.getField("joined"))))) // links_finder:57-59
+      .withColumn("locArr",
+        when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer") &&
+            Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")),
+          col("locsRaw")))
+      .drop("doc_id", "preDef", "canonText", "rrules", "linkSpans", "locsRaw",
+        "uriN", "fetchKey", "finalUrl", "redirTarget", "finCanon",
         "url", "finDocId")
 
     // Every output branches off f5 / kids2 / accepted. f5 is EAGERLY
@@ -279,9 +332,12 @@ object CrawlRound {
     // used in local mode; a cluster run takes a reliable checkpoint to
     // sparkContext's checkpoint dir (CrawlDriver points it at the
     // snapshot root).
+    val tF0 = System.nanoTime()
     val f5c =
       if (spark.sparkContext.isLocal) f5.localCheckpoint()
       else f5.checkpoint()
+    if (sys.env.contains("SPARK_GRAFT_TRACE"))
+      println(f"[round ${in.round}] f5cJob=${(System.nanoTime() - tF0) / 1e9}%.1fs")
     val processed = f5c.filter(!col("defer"))
     val deferred = f5c.filter(col("defer"))
       .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method",
@@ -350,10 +406,7 @@ object CrawlRound {
     // would NameError at :73.
     val smPages = processed.filter(col("fetchClass") === "ok" &&
         Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")) &&
-        col("hasSpans"))
-      .withColumn("nlocs", size(filter(col("linkSpans"),
-        sp => sp.getField("kind") === "sitemap-loc")))
-      .filter(col("nlocs") > 0)
+        col("hasSpans") && col("nlocs") > 0)
     val sizeFired = col("finLen") > cfg.sitemapMaxSize
     val smDefects = smPages.filter(sizeFired).select(
         col("pos").as("popPos"), lit(12).as("phase"), col("seq").as("responseSeq"),
@@ -367,48 +420,20 @@ object CrawlRound {
     val checkerDefects = dupDefects.unionByName(Checks.pageDefects(okHtmlChk))
       .unionByName(smDefects)
 
-    // ---- link explode (G1) + canonicalization chain (P1-P5) ----------
+    // ---- link explode (G1/G2/G3) with ARITHMETIC seq assignment ------
+    // idno parity: every scheme-passing link consumes a seq, dups
+    // included (transaction.py:102-115); order = (parent pop, doc order;
+    // sitemap virtual pushes first). Round 3 RANKED the exploded links —
+    // a full O(links) shuffle whose window sort and offsets broadcast
+    // re-executed the explode+URL chain. Now the seq is COMPUTED: the
+    // kid arrays baked into the checkpoint row give each parent's kid
+    // count, an O(parents) bounded prefix-sum gives the parent's first
+    // seq (`sbase`), and a child's seq is sbase + within-parent index
+    // (virtual pushes 0..v-1, then the dense array index + v). The only
+    // shuffles left are the slim counts table and one parents-by-pos
+    // join — both O(parents), never O(links).
     val kidCols = Seq("parentSeq", "parentPos", "childIdx", "canon", "decoded",
-      "cexpected", "cdepth", "referer", "smHost")
-    val okHtml = processed.filter(col("fetchClass") === "ok" &&
-      Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")) &&
-      col("hasSpans"))
-    val kids0 = okHtml.select(
-      col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
-      col("uriOk").as("base"),
-      posexplode(filter(col("linkSpans"),
-        s => s.getField("kind").isInCollection(LinkKinds))).as(Seq("childIdx", "span")))
-    val kids1 = kids0
-      .withColumn("joined", url_join(col("base"), col("span").getField("text")))
-      .filter(url_scheme(col("joined")).isin("http", "https")) // links_finder:57-59
-      .withColumn("addr", url_quote(col("joined")))
-      .withColumn("decoded", url_unquote2(col("addr")))
-      .withColumn("canon", url_defrag(col("decoded")))
-      .withColumn("cexpected",
-        when(col("span").getField("kind") === "img", "image/").otherwise(lit(null).cast(StringType)))
-      .withColumn("cdepth", col("depth") + 1)
-      .withColumn("referer", col("base")) // transaction.py:174
-      .withColumn("smHost", lit(null).cast(StringType))
-      .select(kidCols.map(col): _*)
-
-    // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
-    // (sitemap_scanner.py:118-124 pushes the <loc> string directly) ----
-    val okXml = processed.filter(col("fetchClass") === "ok" &&
-      Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")) &&
-      col("hasSpans"))
-    val smLocKids = okXml.select(
-        col("seq").as("parentSeq"), col("pos").as("parentPos"), col("depth"),
-        col("uriOk").as("base"),
-        posexplode(filter(col("linkSpans"),
-          sp => sp.getField("kind") === "sitemap-loc")).as(Seq("childIdx", "span")))
-      .filter(url_scheme(col("span").getField("text")).isin("http", "https"))
-      .withColumn("decoded", url_unquote2(col("span").getField("text")))
-      .withColumn("canon", url_defrag(col("decoded")))
-      .withColumn("cexpected", lit(null).cast(StringType))
-      .withColumn("cdepth", col("depth") + 1)
-      .withColumn("referer", col("base"))
-      .withColumn("smHost", lit(null).cast(StringType))
-      .select(kidCols.map(col): _*)
+      "cexpected", "cdepth", "referer", "smHost", "seq")
 
     // ---- robots-sitemap virtual links (G3/D3, robots.py:72-83) -------
     // Trigger = the host's FIRST robots-allowed pop this round whose
@@ -417,10 +442,10 @@ object CrawlRound {
     // trigger: robots virtual tx, then new locs lexicographically
     // (declared deviation: the reference iterates a Python set) — all
     // BEFORE the page's own children (record_sitemaps runs pre-fetch),
-    // hence the negative childIdx keys.
-    val (smVirtualKids, knownMapsDelta) =
-      if (world.sitemapsAgg == null)
-        (None, spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
+    // hence vidx 0 (robots) / 1+j (locs) and the negative childIdx
+    // frontier-arrival keys.
+    val won: Option[DataFrame] =
+      if (world.sitemapsAgg == null) None
       else {
         val sitePops = f5c.filter(col("gate") === "pass")
           .join(broadcast(world.sitemapsAgg), Seq("host"))
@@ -433,60 +458,116 @@ object CrawlRound {
           col("hdepth"), posexplode(col("slocs")).as(Seq("li", "loc")))
         val fresh = cand.join(in.knownMaps.select(col("uri").as("loc")),
           Seq("loc"), "left_anti")
-        val won = fresh.withColumn("rn0",
+        Some(fresh.withColumn("rn0",
             row_number().over(Window.partitionBy(col("loc")).orderBy(col("hpos"))))
           .filter(col("rn0") === 1).drop("rn0")
           .withColumn("j",
-            row_number().over(Window.partitionBy(col("host")).orderBy(col("li"))) - 1)
-        val robotsUri = concat(lit("http://"), col("host"), lit("/robots.txt"))
-        val robotsRows = won.select(col("host"), col("hpos"), col("hseq"), col("hdepth"))
-          .distinct()
-          .select(col("hseq").as("parentSeq"), col("hpos").as("parentPos"),
-            lit(-2000000).as("childIdx"),
-            url_defrag(url_unquote2(robotsUri)).as("canon"),
-            url_unquote2(robotsUri).as("decoded"),
-            lit(null).cast(StringType).as("cexpected"),
-            (col("hdepth") + 1).as("cdepth"),
-            lit(null).cast(StringType).as("referer"),
-            col("host").as("smHost"))
-        val mapRows = won
-          .select(lit(-1L).as("parentSeq"), // robots tx seq, fixed post-rank
-            col("hpos").as("parentPos"),
-            (lit(-1000000) + col("j")).cast("int").as("childIdx"),
-            url_defrag(url_unquote2(col("loc"))).as("canon"),
-            url_unquote2(col("loc")).as("decoded"),
-            lit(null).cast(StringType).as("cexpected"),
-            (col("hdepth") + 2).as("cdepth"),
-            url_defrag(url_unquote2(robotsUri)).as("referer"),
-            col("host").as("smHost"))
-        (Some(robotsRows.unionByName(mapRows)), won.select(col("loc").as("uri")))
+            row_number().over(Window.partitionBy(col("host")).orderBy(col("li"))) - 1))
       }
+    val knownMapsDelta = won.map(_.select(col("loc").as("uri")))
+      .getOrElse(spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
 
-    val kids1All = (Seq(kids1, smLocKids) ++ smVirtualKids.toSeq)
+    // per-parent kid counts (regular + virtual) -> exclusive prefix sum
+    val cntReg = processed.select(col("pos"),
+        (coalesce(size(col("kidArr")), lit(0)) +
+          coalesce(size(col("locArr")), lit(0))).cast("long").as("cnt"),
+        lit(0L).as("vcnt"))
+      .filter(col("cnt") > 0)
+    val cntAll = won match {
+      case None => cntReg
+      case Some(w) =>
+        cntReg.unionByName(w.groupBy(col("hpos").as("pos"))
+          .agg((count(lit(1)) + 1L).as("cnt"))
+          .withColumn("vcnt", col("cnt")))
+    }
+    val counts = cntAll.groupBy(col("pos"))
+      .agg(sum(col("cnt")).as("cnt"), sum(col("vcnt")).as("vcnt"))
+    val based = Ranks.withBoundedPrefixSum(counts, col("pos"), col("cnt"),
+      "base", in.posLo, in.nextPos)
+      .select(col("pos"), col("base"), col("vcnt"))
+
+    // parents (slim projection) joined to their first-seq base: the one
+    // remaining exchange carries O(parents) rows
+    val parents = processed
+      .filter(coalesce(size(col("kidArr")), lit(0)) > 0 ||
+        coalesce(size(col("locArr")), lit(0)) > 0)
+      .select(col("seq").as("parentSeq"), col("pos").as("parentPos"),
+        col("depth"), col("uriOk").as("base"), col("kidArr"), col("locArr"))
+      .join(based.select(col("pos").as("parentPos"), col("base").as("sbase"),
+        col("vcnt")), Seq("parentPos"))
+
+    val kids1 = parents
+      .select(col("parentSeq"), col("parentPos"), col("depth"), col("base"),
+        col("sbase"), col("vcnt"),
+        posexplode(col("kidArr")).as(Seq("childIdx", "k")))
+      .withColumn("seq",
+        lit(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
+      // unquote²∘quote folds to one unquote (UrlFuncs.canonLink): the
+      // quote round-trip allocated two extra strings per link for a
+      // provable no-op
+      .withColumn("decoded", url_unquote(col("k").getField("joined")))
+      .withColumn("canon", url_defrag(col("decoded")))
+      .withColumn("cexpected",
+        when(col("k").getField("kind") === "img", "image/")
+          .otherwise(lit(null).cast(StringType)))
+      .withColumn("cdepth", col("depth") + 1)
+      .withColumn("referer", col("base")) // transaction.py:174
+      .withColumn("smHost", lit(null).cast(StringType))
+      .select(kidCols.map(col): _*)
+
+    // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
+    // (sitemap_scanner.py:118-124 pushes the <loc> string directly) ----
+    val smLocKids = parents
+      .select(col("parentSeq"), col("parentPos"), col("depth"), col("base"),
+        col("sbase"), col("vcnt"),
+        posexplode(col("locArr")).as(Seq("childIdx", "loc")))
+      .withColumn("seq",
+        lit(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
+      .withColumn("decoded", url_unquote2(col("loc")))
+      .withColumn("canon", url_defrag(col("decoded")))
+      .withColumn("cexpected", lit(null).cast(StringType))
+      .withColumn("cdepth", col("depth") + 1)
+      .withColumn("referer", col("base"))
+      .withColumn("smHost", lit(null).cast(StringType))
+      .select(kidCols.map(col): _*)
+
+    // virtual rows: robots tx at vidx 0, loc links at vidx 1+j hanging
+    // off the robots tx's seq (push_link(new_map, robots_transaction),
+    // robots.py:80) — both DIRECTLY computable from sbase, no post-rank
+    // seq-resolution join
+    val smVirtualKids: Option[DataFrame] = won.map { w =>
+      val wb = w.join(based.select(col("pos").as("hpos"), col("base").as("sbase")),
+        Seq("hpos"))
+      val robotsUri = concat(lit("http://"), col("host"), lit("/robots.txt"))
+      val robotsRows = wb
+        .select(col("host"), col("hpos"), col("hseq"), col("hdepth"), col("sbase"))
+        .distinct()
+        .select(col("hseq").as("parentSeq"), col("hpos").as("parentPos"),
+          lit(-2000000).as("childIdx"),
+          url_defrag(url_unquote2(robotsUri)).as("canon"),
+          url_unquote2(robotsUri).as("decoded"),
+          lit(null).cast(StringType).as("cexpected"),
+          (col("hdepth") + 1).as("cdepth"),
+          lit(null).cast(StringType).as("referer"),
+          col("host").as("smHost"),
+          (lit(in.nextSeq) + col("sbase")).as("seq"))
+      val mapRows = wb
+        .select((lit(in.nextSeq) + col("sbase")).as("parentSeq"),
+          col("hpos").as("parentPos"),
+          (lit(-1000000) + col("j")).cast("int").as("childIdx"),
+          url_defrag(url_unquote2(col("loc"))).as("canon"),
+          url_unquote2(col("loc")).as("decoded"),
+          lit(null).cast(StringType).as("cexpected"),
+          (col("hdepth") + 2).as("cdepth"),
+          url_defrag(url_unquote2(robotsUri)).as("referer"),
+          col("host").as("smHost"),
+          (lit(in.nextSeq) + col("sbase") + 1L + col("j")).as("seq"))
+      robotsRows.unionByName(mapRows)
+    }
+
+    val kids2 = (Seq(kids1, smLocKids) ++ smVirtualKids.toSeq)
       .reduce(_ unionByName _)
-
-    // idno parity: every scheme-passing link consumes a seq, dups
-    // included (transaction.py:102-115); order = (parent pop, doc order;
-    // sitemap virtual pushes first via negative childIdx)
-    val kids2a = Ranks.withBoundedRank(kids1All, Seq(col("parentPos"), col("childIdx")),
-        "seqRank", col("parentPos"), in.posLo, in.nextPos)
-      .withColumn("seq", col("seqRank") + in.nextSeq).drop("seqRank")
-    // sitemap loc links hang off the robots virtual transaction
-    // (push_link(new_map, robots_transaction), robots.py:80): resolve
-    // the robots tx's just-assigned seq as their parentSeq
-    val (kids2b, kids2aCached) =
-      if (world.sitemapsAgg == null) (kids2a, None)
-      else {
-        val kA = kids2a.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val robotsSeqs = kA.filter(col("childIdx") === -2000000)
-          .select(col("smHost").as("rHost"), col("seq").as("rseq"))
-        (kA.join(broadcast(robotsSeqs), col("smHost") === col("rHost"), "left")
-          .withColumn("parentSeq",
-            when(col("childIdx") >= -1000000 && col("childIdx") < 0, col("rseq"))
-              .otherwise(col("parentSeq")))
-          .drop("rHost", "rseq"), Some(kA))
-      }
-    val kids2 = kids2b.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- dedup: intra-round first-wins + URL-seen bands (D1) ---------
     // partial-aggregating groupBy (min by unique seq) instead of a
@@ -504,7 +585,7 @@ object CrawlRound {
       .withColumn("method", lit("GET"))
     val newItems = UrlSeen.dedupeAgainstSeen(
       firstKids, in.seen.select(col("uri").as("canon"), col("method")),
-      "canon", "method", in.seenBloom)
+      "canon", "method", in.seenBloom())
 
     // urlLimit (F10): global dense rank by seq vs the remaining budget;
     // over-limit items vanish entirely (SeenLimit: no rows logged)
@@ -611,6 +692,6 @@ object CrawlRound {
     RoundOut(frontierOut, acceptedOut, txProcessed, links,
       defects.unionByName(checkerDefects), hostStateOut,
       dupStateDelta, knownMapsDelta, headersOut, cookiesOut, lineage,
-      cached = Seq(f5c, kids2, acceptedC, frontierOut) ++ kids2aCached.toSeq)
+      cached = Seq(f5c, kids2, acceptedC, frontierOut))
   }
 }

@@ -49,6 +49,41 @@ object Ranks {
       .drop("__gr_pid", "__gr_off")
   }
 
+  /** Adds `prefixCol` = sum of `weightCol` over all rows with a smaller
+    * `keyCol` (exclusive prefix sum in key order; keys must be unique).
+    * Same bounded-bucket shape as [[withBoundedRank]]: one hash shuffle
+    * of the (small) keyed rows, per-bucket running sums, broadcast
+    * bucket offsets. The scalable building block for ARITHMETIC id
+    * assignment: rank an O(parents) counts table instead of shuffling
+    * the O(links) exploded rows.
+    */
+  def withBoundedPrefixSum(df: DataFrame, keyCol: Column, weightCol: Column,
+      prefixCol: String, lo: Long, hi: Long,
+      numPartitions: Option[Int] = None): DataFrame = {
+    val spark = df.sparkSession
+    val p = numPartitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+    val span = math.max(1L, hi - lo)
+    val bucket = least(lit(p - 1L), greatest(lit(0L),
+      ((keyCol - lo) * p / span))).cast("int")
+    val parted = df.withColumn("__gr_pid", bucket)
+      .withColumn("__gr_w", weightCol.cast("long"))
+      .repartition(p, col("__gr_pid"))
+    val offsets = parted.groupBy(col("__gr_pid")).agg(sum(col("__gr_w")).as("__gr_cnt"))
+      .withColumn("__gr_off",
+        coalesce(sum(col("__gr_cnt")).over(
+          Window.partitionBy(lit(0)).orderBy(col("__gr_pid"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__gr_pid"), col("__gr_off"))
+    parted
+      .join(broadcast(offsets), "__gr_pid")
+      .withColumn(prefixCol,
+        col("__gr_off") + coalesce(
+          sum(col("__gr_w")).over(
+            Window.partitionBy(col("__gr_pid")).orderBy(keyCol)
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .drop("__gr_pid", "__gr_off", "__gr_w")
+  }
+
   /** Adds `rankCol` = dense global 0-based rank by `orderCols` (which
     * must be a unique key). Cost: one range shuffle + one tiny count agg.
     */

@@ -19,9 +19,37 @@ import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
   * directly.
   */
 object UrlBridge {
-    def defrag(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.defrag(s.toString))
-    def unquote2(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.unquote2(s.toString))
+    // single-char probes for the no-op fast paths: the overwhelming
+    // majority of discovered links contain no '#'/'%', and returning
+    // the input UTF8String REFERENCE avoids two String copies per call —
+    // at ~10 links per fetched page these conversions were a measurable
+    // slice of the crawl's memory-bandwidth budget (the resource that
+    // caps multi-core scaling on a single box)
+    private val HASH = UTF8String.fromString("#")
+    private val PCT = UTF8String.fromString("%")
+    def defrag(s: UTF8String): UTF8String = {
+      val i = s.indexOf(HASH, 0)
+      if (i < 0) s else s.substring(0, i)
+    }
+    def unquote2(s: UTF8String): UTF8String =
+      if (s.indexOf(PCT, 0) < 0) s
+      else UTF8String.fromString(UrlFuncs.unquote2(s.toString))
+    def unquote(s: UTF8String): UTF8String =
+      if (s.indexOf(PCT, 0) < 0) s
+      else UTF8String.fromString(UrlFuncs.unquote(s.toString))
     def quote(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.quote(s.toString))
+    /** scheme ∈ {http, https} without string materialization: a
+      * case-insensitive byte-prefix test for "http:"/"https:" (the only
+      * way urlsplit yields scheme http/https).
+      */
+    def isHttp(s: UTF8String): Boolean = {
+      val n = s.numBytes
+      def lc(i: Int): Int = s.getByte(i) | 0x20
+      if (n >= 5 && lc(0) == 'h' && lc(1) == 't' && lc(2) == 't' && lc(3) == 'p') {
+        if (s.getByte(4) == ':') true
+        else n >= 6 && lc(4) == 's' && s.getByte(5) == ':'
+      } else false
+    }
     def host(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.host(s.toString))
     def scheme(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.scheme(s.toString))
     def normalize(s: UTF8String): UTF8String = UTF8String.fromString(UrlFuncs.urlNormalize(s.toString))
@@ -60,6 +88,15 @@ object UrlExpressions {
     protected def evalStr(s: UTF8String): UTF8String = UrlBridge.unquote2(s)
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
+  /** Single unquote — the discovered-link chain unquote²∘quote folds to
+    * this (quote adds exactly one encode level and the first unquote
+    * removes it; see UrlFuncs.canonLink).
+    */
+  case class UrlUnquote(child: Expression) extends UrlUnary {
+    protected def fn = "unquote"
+    protected def evalStr(s: UTF8String): UTF8String = UrlBridge.unquote(s)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
   case class UrlQuote(child: Expression) extends UrlUnary {
     protected def fn = "quote"
     protected def evalStr(s: UTF8String): UTF8String = UrlBridge.quote(s)
@@ -90,6 +127,16 @@ object UrlExpressions {
   case class UrlPathQ(child: Expression) extends UrlUnary {
     protected def fn = "pathq"
     protected def evalStr(s: UTF8String): UTF8String = UrlBridge.pathq(s)
+    override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+  }
+
+  /** scheme ∈ {http,https} as a byte-prefix test (no materialization). */
+  case class UrlIsHttp(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+    override protected def nullSafeEval(v: Any): Any =
+      UrlBridge.isHttp(v.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$B.isHttp($c)")
     override protected def withNewChildInternal(c: Expression): Expression = copy(c)
   }
 
@@ -130,6 +177,8 @@ object UrlExpressions {
   // Column-level API
   def url_defrag(c: Column): Column = toColumn(UrlDefrag(toExpression(c)))
   def url_unquote2(c: Column): Column = toColumn(UrlUnquote2(toExpression(c)))
+  def url_unquote(c: Column): Column = toColumn(UrlUnquote(toExpression(c)))
+  def url_is_http(c: Column): Column = toColumn(UrlIsHttp(toExpression(c)))
   def url_quote(c: Column): Column = toColumn(UrlQuote(toExpression(c)))
   def url_host(c: Column): Column = toColumn(UrlHost(toExpression(c)))
   def url_scheme(c: Column): Column = toColumn(UrlScheme(toExpression(c)))

@@ -21,6 +21,12 @@ class EngineParitySpec extends AnyFunSuite {
     // AQE's per-stage driver round-trips triple tiny-world crawl time
     // without changing results — plans here are explicitly sized
     .config("spark.sql.adaptive.enabled", "false")
+    // same rationale as the bench session: the engine broadcasts its
+    // small sides EXPLICITLY; auto-broadcast turns every tiny state
+    // join into a separate broadcast-subquery job (~0.3-1.5 s of pure
+    // driver latency each, ~28 per round) and dominates tiny-world
+    // crawl wall time without changing results
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
