@@ -301,16 +301,10 @@ object Bench {
     // single poisoned run poisons the efficiency ratio 2x
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
 
-    // machine clock-ceiling probe per level pair (see perThreadThroughput)
-    val ceilings: Map[(Int, Int), Double] =
-      if (!doScaling || levels.size < 2) Map.empty
-      else levels.zip(levels.tail).map(p => p -> cpuCeiling(p._1, p._2)).toMap
-    // memory-bandwidth ceiling per level pair (see memProbeSec) — the
-    // honest denominator for a memory-bound pipeline's efficiency
-    val memCeilings: Map[(Int, Int), Double] =
-      if (!doScaling || levels.size < 2 ||
-          sys.env.getOrElse("SPARK_GRAFT_MEMPROBE", "1") != "1") Map.empty
-      else levels.zip(levels.tail).map(p => p -> memCeiling(p._1, p._2)).toMap
+    // ceiling probes (clock + memory bandwidth) are measured AFTER the
+    // crawl levels so the headline numbers land in the artifact first
+    var ceilings: Map[(Int, Int), Double] = Map.empty
+    var memCeilings: Map[(Int, Int), Double] = Map.empty
 
     // mutable result state; emit() prints a complete JSON snapshot line
     val thr = scala.collection.mutable.LinkedHashMap.empty[Int, Double]
@@ -445,6 +439,16 @@ object Bench {
       gcs(lvl) = best.gc
       taskS(lvl) = best.task
       cpuS(lvl) = best.cpu
+      emit(done = false)
+    }
+
+    // machine clock-ceiling probe per level pair (see perThreadThroughput)
+    // + memory-bandwidth ceiling (see memProbeSec) — the honest
+    // denominator for a memory-bound pipeline's efficiency
+    if (doScaling && levels.size >= 2) {
+      ceilings = levels.zip(levels.tail).map(p => p -> cpuCeiling(p._1, p._2)).toMap
+      if (sys.env.getOrElse("SPARK_GRAFT_MEMPROBE", "1") == "1")
+        memCeilings = levels.zip(levels.tail).map(p => p -> memCeiling(p._1, p._2)).toMap
       emit(done = false)
     }
 

@@ -25,8 +25,27 @@ object SparkEntry {
 
   // ---- shared tiny crawl for the engine-operator queries (memoized) --
   @volatile private var crawlCache: Option[CrawlDriver.CrawlRun] = None
-  private def tinyCrawl(s: SparkSession): CrawlDriver.CrawlRun = synchronized {
+  private def tinyCrawl(s0: SparkSession): CrawlDriver.CrawlRun = synchronized {
     crawlCache.getOrElse {
+      // isolated child session (same SparkContext, own SQLConf): the
+      // engine broadcasts its small sides explicitly, and under the
+      // caller's default auto-broadcast threshold every tiny state join
+      // becomes a separate broadcast-subquery job (~0.3-1.5 s driver
+      // latency each) — measured 402 s for this 40-doc crawl vs ~15 s
+      // without auto-broadcast
+      val s = s0.newSession()
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      // a 40-doc world: per-stage task-launch latency dominates, so
+      // fewer, fuller partitions (results are partitioning-independent)
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      // interpreted mode: at 40 rows whole-stage codegen is pure driver
+      // cost (the cumulative-state union widens per round, so several
+      // stages recompile every round regardless of parameter hygiene);
+      // measured 104 s → 56 s for this crawl. The codegen path stays
+      // covered by the parity suite and the scaling bench.
+      s.conf.set("spark.sql.codegen.wholeStage", "false")
+      s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
       val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
         politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
         canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4,

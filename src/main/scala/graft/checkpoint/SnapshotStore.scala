@@ -97,7 +97,7 @@ object SnapshotStore {
     val bySlot: Map[String, Column] = assign.map { case (name, slot, t) =>
       slot -> (if (present(name)) col(name).cast(t) else lit(null).cast(t))
     }.toMap
-    val cols: Seq[Column] = lit(kind).as("kind") +: lit(round).as("round") +:
+    val cols: Seq[Column] = lit(kind).as("kind") +: graft.plans.Dyn.dynInt(round).as("round") +:
       slotFields.map { case (slot, t) =>
         bySlot.getOrElse(slot, lit(null).cast(t)).as(slot)
       }

@@ -168,7 +168,11 @@ object CrawlRound {
 
   def run(spark: SparkSession, world: PreparedWorld, cfg: CrawlConfig, in: RoundIn): RoundOut = {
     import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
-    val S = lit(in.round * cfg.rescheduleBoundS)
+    // round-varying plan parameters ride the codegen references array
+    // (graft.plans.Dyn) so every BSP round reuses the same compiled
+    // classes instead of paying a fresh janino compile
+    import graft.plans.Dyn.{dynDouble, dynInt, dynLong}
+    val S = dynDouble(in.round * cfg.rescheduleBoundS)
     val bound = lit(cfg.rescheduleBoundS)
 
     // ---- gates ------------------------------------------------------
@@ -356,7 +360,7 @@ object CrawlRound {
       when(col("fetchClass") === "ok", col("ct")).otherwise(lit(null).cast(StringType))
         .as("contentType"),
       statusCol.as("verificationStatus"),
-      col("depth"), col("expected"), lit(in.round).as("round"))
+      col("depth"), col("expected"), dynInt(in.round).as("round"))
 
     // ---- defects (deterministic order key: (popPos=pos, phase)) ------
     def defectDf(cond: Column, phase: Int, seqCol: Column, name: String,
@@ -501,7 +505,7 @@ object CrawlRound {
         col("sbase"), col("vcnt"),
         posexplode(col("kidArr")).as(Seq("childIdx", "k")))
       .withColumn("seq",
-        lit(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
+        dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
       // unquote²∘quote folds to one unquote (UrlFuncs.canonLink): the
       // quote round-trip allocated two extra strings per link for a
       // provable no-op
@@ -522,7 +526,7 @@ object CrawlRound {
         col("sbase"), col("vcnt"),
         posexplode(col("locArr")).as(Seq("childIdx", "loc")))
       .withColumn("seq",
-        lit(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
+        dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
       .withColumn("decoded", url_unquote2(col("loc")))
       .withColumn("canon", url_defrag(col("decoded")))
       .withColumn("cexpected", lit(null).cast(StringType))
@@ -550,9 +554,9 @@ object CrawlRound {
           (col("hdepth") + 1).as("cdepth"),
           lit(null).cast(StringType).as("referer"),
           col("host").as("smHost"),
-          (lit(in.nextSeq) + col("sbase")).as("seq"))
+          (dynLong(in.nextSeq) + col("sbase")).as("seq"))
       val mapRows = wb
-        .select((lit(in.nextSeq) + col("sbase")).as("parentSeq"),
+        .select((dynLong(in.nextSeq) + col("sbase")).as("parentSeq"),
           col("hpos").as("parentPos"),
           (lit(-1000000) + col("j")).cast("int").as("childIdx"),
           url_defrag(url_unquote2(col("loc"))).as("canon"),
@@ -561,7 +565,7 @@ object CrawlRound {
           (col("hdepth") + 2).as("cdepth"),
           url_defrag(url_unquote2(robotsUri)).as("referer"),
           col("host").as("smHost"),
-          (lit(in.nextSeq) + col("sbase") + 1L + col("j")).as("seq"))
+          (dynLong(in.nextSeq) + col("sbase") + 1L + col("j")).as("seq"))
       robotsRows.unionByName(mapRows)
     }
 
@@ -594,8 +598,8 @@ object CrawlRound {
       case Some(limit) =>
         val ranked = Ranks.withBoundedRank(newItems, Seq(col("seq")), "limRank",
           col("parentPos"), in.posLo, in.nextPos)
-        (ranked.filter(col("limRank") + in.seenCount < limit).drop("limRank"),
-          Some(ranked.filter(col("limRank") + in.seenCount >= limit).select(col("canon"))))
+        (ranked.filter(col("limRank") + dynLong(in.seenCount) < limit).drop("limRank"),
+          Some(ranked.filter(col("limRank") + dynLong(in.seenCount) >= limit).select(col("canon"))))
     }
 
     val acceptedC = accepted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -614,7 +618,7 @@ object CrawlRound {
     // single "accepted" delta carries seen/aliases/REQUESTED projections
     val acceptedOut = acceptedC.select(col("seq"), col("method"), col("canon"),
       col("decoded"), col("cdepth").as("depth"), col("cexpected").as("expected"),
-      lit(in.round).as("round"))
+      dynInt(in.round).as("round"))
 
     // ---- next frontier: deferred ∪ accepted, serial-FIFO arrival order
     val defPart = deferred.select(col("pos").as("creatorPos"), lit(0L).as("ci"),
@@ -627,7 +631,7 @@ object CrawlRound {
       col("referer"), lit(null).cast(StringType).as("dataQ"))
     val frontierOut = Ranks.withBoundedRank(defPart.unionByName(newPart),
       Seq(col("creatorPos"), col("ci")), "posRank", col("creatorPos"), in.posLo, in.nextPos)
-      .withColumn("pos", col("posRank") + in.nextPos)
+      .withColumn("pos", col("posRank") + dynLong(in.nextPos))
       .select("seq", "pos", "uri", "origUri", "depth", "srcSeq", "method",
         "expected", "referer", "dataQ")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

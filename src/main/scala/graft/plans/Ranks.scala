@@ -28,8 +28,10 @@ object Ranks {
     val spark = df.sparkSession
     val p = numPartitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val span = math.max(1L, hi - lo)
+    // lo/span are per-round values: Dyn keeps them out of the codegen
+    // source so successive rounds reuse compiled classes
     val bucket = least(lit(p - 1L), greatest(lit(0L),
-      ((bucketKey - lo) * p / span))).cast("int")
+      ((bucketKey - Dyn.dynLong(lo)) * p / Dyn.dynLong(span)))).cast("int")
     val parted = df.withColumn("__gr_pid", bucket)
       .repartition(p, col("__gr_pid"))
     // ≤ P rows: an explicit constant partition key keeps the prefix-sum
@@ -64,7 +66,7 @@ object Ranks {
     val p = numPartitions.getOrElse(spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
     val span = math.max(1L, hi - lo)
     val bucket = least(lit(p - 1L), greatest(lit(0L),
-      ((keyCol - lo) * p / span))).cast("int")
+      ((keyCol - Dyn.dynLong(lo)) * p / Dyn.dynLong(span)))).cast("int")
     val parted = df.withColumn("__gr_pid", bucket)
       .withColumn("__gr_w", weightCol.cast("long"))
       .repartition(p, col("__gr_pid"))
