@@ -67,6 +67,37 @@ object SparkEntry {
     }
   }
 
+  // ---- shared persisted LSH index (build-once / probe-many shape) ----
+  // The 10^10-row ANN pattern: the banded sketch table is built and
+  // persisted ONCE (ann_lsh_index_build times the build), then every
+  // probe broadcast-joins its `bands` query rows against it
+  // (ann_lsh_probe times a probe — ≪ build). Corpus = natural
+  // embeddings (minus the query vector) + 10 planted exact copies of
+  // the query at ids 2000000..2000009, so the probe's top-10 is the
+  // deterministic planted set (identical vectors share every chunk;
+  // max natural cosine ≈ 0.6 ≪ 1.0).
+  @volatile private var lshCache: Option[(String, DataFrame, DataFrame, Seq[Float])] = None
+  private def lshIndexFor(s: SparkSession, dir: String): (DataFrame, DataFrame, Seq[Float]) =
+    synchronized {
+      lshCache match {
+        case Some((d, idx, vecs, q)) if d == dir => (idx, vecs, q)
+        case _ =>
+          val e = t(s, dir, "embeddings")
+          val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+            .head().getSeq[Float](0)
+          val copies = s.range(10).select((col("id") + 2000000L).as("vec_id"),
+            typedLit(q).as("embedding"))
+          val vecs = e.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"), col("embedding")).unionByName(copies)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val idx = SimilarityOps.buildLshIndex(vecs, "embedding", "vec_id")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          idx.count() // materialize: the one-time build cost
+          lshCache = Some((dir, idx, vecs, q))
+          (idx, vecs, q)
+      }
+    }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= aggregations (SURVEY §2.7) ====================
     "q1_agg" -> ((s, dir) =>
@@ -362,6 +393,22 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // build-once: the persisted banded index; per-band cardinality is
+    // exactly the corpus size (every vector contributes one row per
+    // band) — a real check that the index covers the corpus
+    "ann_lsh_index_build" -> ((s, dir) => {
+      val (idx, _, _) = lshIndexFor(s, dir)
+      idx.groupBy(col("band")).agg(count(lit(1)).as("n")).orderBy(col("band"))
+    }),
+
+    // probe-many: broadcast the query's 16 sketch rows against the
+    // PERSISTED index (no corpus re-sketch) — top-10 = the planted ids
+    "ann_lsh_probe" -> ((s, dir) => {
+      val (idx, vecs, q) = lshIndexFor(s, dir)
+      SimilarityOps.probeLshTopK(idx, vecs, "embedding", "vec_id", q, 10)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // ================= text analysis =================================
     "tx_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -617,6 +664,15 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 10 = 0 ORDER BY idA, idB""".stripMargin,
 
     "ann_lsh_planted" ->
+      """SELECT 2000000 + i AS vec_id FROM range(10) t(i) ORDER BY vec_id""".stripMargin,
+
+    // every vector (N-1 natural + 10 planted) contributes one row per band
+    "ann_lsh_index_build" ->
+      """SELECT CAST(i AS INT) AS band,
+        | (SELECT count(*) + 9 FROM embeddings) AS n
+        |FROM range(16) t(i) ORDER BY band""".stripMargin,
+
+    "ann_lsh_probe" ->
       """SELECT 2000000 + i AS vec_id FROM range(10) t(i) ORDER BY vec_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
