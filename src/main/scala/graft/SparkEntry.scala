@@ -116,11 +116,16 @@ object SparkEntry {
         round(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)) * 100.0 /
           count(lit(1)), 6).as("pct_returned"))),
 
-    // A1 first-seen dense id assignment (defectType dimension build)
+    // A1 first-seen dense id assignment (defectType dimension build).
+    // Input is one row per lang (bounded); the constant partition key is
+    // a non-foldable DynLiteral so Spark 4 keeps it (no WindowExec
+    // no-partition warning).
     "a1_first_seen_ids" -> ((s, dir) =>
       t(s, dir, "documents")
         .groupBy(col("lang")).agg(min(col("doc_id")).as("first_seen"))
-        .withColumn("id", row_number().over(Window.orderBy(col("first_seen"))).cast("long") - 1)
+        .withColumn("id", row_number().over(
+          Window.partitionBy(graft.plans.Dyn.dynInt(0))
+            .orderBy(col("first_seen"))).cast("long") - 1)
         .select(col("id"), col("lang"), col("first_seen"))
         .orderBy(col("id"))),
 

@@ -34,13 +34,15 @@ object Ranks {
       ((bucketKey - Dyn.dynLong(lo)) * p / Dyn.dynLong(span)))).cast("int")
     val parted = df.withColumn("__gr_pid", bucket)
       .repartition(p, col("__gr_pid"))
-    // ≤ P rows: an explicit constant partition key keeps the prefix-sum
-    // window single-partition BY DECLARATION (it is tiny by construction)
-    // instead of tripping WindowExec's no-partition warning on every round
+    // ≤ P rows: a CONSTANT partition key keeps the prefix-sum window
+    // single-partition BY DECLARATION (it is tiny by construction). It
+    // must be non-foldable: Spark 4's EliminateWindowPartitions rule
+    // folds a plain lit(0) away, reintroducing WindowExec's no-partition
+    // warning on every round — DynLiteral(0) is constant but unfoldable
     val offsets = parted.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_cnt")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__gr_pid"))
+          Window.partitionBy(Dyn.dynInt(0)).orderBy(col("__gr_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gr_pid"), col("__gr_off"))
     parted
@@ -73,7 +75,7 @@ object Ranks {
     val offsets = parted.groupBy(col("__gr_pid")).agg(sum(col("__gr_w")).as("__gr_cnt"))
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_cnt")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__gr_pid"))
+          Window.partitionBy(Dyn.dynInt(0)).orderBy(col("__gr_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gr_pid"), col("__gr_off"))
     parted
@@ -98,13 +100,15 @@ object Ranks {
       .sortWithinPartitions(orderCols: _*)
       .withColumn("__gr_pid", spark_partition_id())
     // per-partition offsets: P rows — broadcast join, no second big shuffle
-    // ≤ P rows: an explicit constant partition key keeps the prefix-sum
-    // window single-partition BY DECLARATION (it is tiny by construction)
-    // instead of tripping WindowExec's no-partition warning on every round
+    // ≤ P rows: a CONSTANT partition key keeps the prefix-sum window
+    // single-partition BY DECLARATION (it is tiny by construction). It
+    // must be non-foldable: Spark 4's EliminateWindowPartitions rule
+    // folds a plain lit(0) away, reintroducing WindowExec's no-partition
+    // warning on every round — DynLiteral(0) is constant but unfoldable
     val offsets = parted.groupBy(col("__gr_pid")).agg(count(lit(1)).as("__gr_cnt"))
       .withColumn("__gr_off",
         coalesce(sum(col("__gr_cnt")).over(
-          Window.partitionBy(lit(0)).orderBy(col("__gr_pid"))
+          Window.partitionBy(Dyn.dynInt(0)).orderBy(col("__gr_pid"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("__gr_pid"), col("__gr_off"))
     parted

@@ -17,14 +17,17 @@ object Report {
     * within-phase emission index), so ids are deterministic and match
     * the reference's serial emission. The single-partition window is
     * fine here: its input is one row per defect TYPE (a small, bounded
-    * universe), not per defect.
+    * universe), not per defect. The constant partition key is a
+    * DynLiteral because Spark 4's EliminateWindowPartitions folds a
+    * plain lit(0) away (which would re-trip WindowExec's no-partition
+    * warning).
     */
   def defectTypes(run: CrawlRun): DataFrame = {
     run.defects
       .groupBy(col("typeName"))
       .agg(min(struct(col("popPos"), col("phase"), col("sub"))).as("firstSeen"))
       .withColumn("id", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("firstSeen"))).cast("long") - 1)
+        Window.partitionBy(graft.plans.Dyn.dynInt(0)).orderBy(col("firstSeen"))).cast("long") - 1)
       .select(col("id"), col("typeName").as("type"))
   }
 
