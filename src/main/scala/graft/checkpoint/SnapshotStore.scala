@@ -12,7 +12,12 @@ import scala.jdk.CollectionConverters._
   * atomically (tmp + move) as the commit marker — a round without a
   * manifest is invisible, so a killed job resumes from the last
   * complete round exactly (north-rule resumability). The manifest
-  * carries the driver's scalar counters and per-partition lineage.
+  * carries the driver's scalar counters plus per-metric lineage TOTALS
+  * (derived from the write job's CollectMetrics observation, partition
+  * recorded as 0 — totals-only): the per-partition split rides inside
+  * the delta itself as `kind=lineage` rows, and the observed totals are
+  * validated against the durably committed rows at every compaction
+  * (CrawlDriver's seen-count invariant).
   *
   * Round 1 wrote 8 separate tables per round; at ~1s of fixed
   * job-launch + planning + commit latency per write that serial cost
@@ -23,8 +28,8 @@ import scala.jdk.CollectionConverters._
   *
   * The merged schema is PACKED: instead of a 47-column superset (one
   * named column per field of every kind, mostly null), kinds map their
-  * fields onto 13 generic slots by type (3 longs, 6 strings, 2 ints,
-  * 1 double, 2 booleans). Every written row carries 15 fields instead
+  * fields onto 14 generic slots by type (4 longs, 6 strings, 2 ints,
+  * 1 double, 2 booleans). Every written row carries 16 fields instead
   * of 47 — at 10^5..10^9 rows/round the union's row width is the write
   * job's memory traffic, and the wide layout measurably throttled the
   * multi-core scaling curve. [[asDelta]] packs named → slots;
@@ -42,9 +47,17 @@ object SnapshotStore {
 
   /** Generic slot columns of the packed delta. */
   val slotFields: Seq[(String, DataType)] = Seq(
-    "l0" -> L, "l1" -> L, "l2" -> L,
+    "l0" -> L, "l1" -> L, "l2" -> L, "l3" -> L,
     "s0" -> S, "s1" -> S, "s2" -> S, "s3" -> S, "s4" -> S, "s5" -> S,
     "i0" -> I, "i1" -> I, "d0" -> D, "b0" -> B, "b1" -> B)
+
+  /** The packed delta's STATIC schema, passed to every read: parquet
+    * schema inference (a footer read, sometimes a small driver job over
+    * many files) never runs on the per-round read path.
+    */
+  val packedSchema: StructType = StructType(
+    StructField("kind", S) +: StructField("round", I) +:
+      slotFields.map { case (n, t) => StructField(n, t) })
 
   /** Per-kind field layout: (named column, its type) in slot-assignment
     * order (longs fill l0.., strings s0.., ints i0.., doubles d0..,
@@ -63,7 +76,8 @@ object SnapshotStore {
     "defects" -> Seq("popPos" -> L, "responseSeq" -> L,
       "typeName" -> S, "evidence" -> S, "phase" -> I, "sub" -> I, "severity" -> D),
     "host_state" -> Seq("host" -> S, "lastVisitS" -> D),
-    "dup_state" -> Seq("size" -> L, "bhash" -> L, "pop" -> L, "uri" -> S),
+    "dup_state" -> Seq("size" -> L, "bhash" -> L, "bhash2" -> L, "pop" -> L,
+      "uri" -> S),
     "known_maps" -> Seq("uri" -> S),
     "headers" -> Seq("seq" -> L, "hname" -> S, "hvalue" -> S),
     "cookies" -> Seq("seq" -> L, "cname" -> S, "cvalue" -> S, "cpath" -> S,
@@ -128,7 +142,8 @@ class SnapshotStore(val root: String, spark: SparkSession) {
   def writeDelta(k: Int, delta: DataFrame): Unit =
     delta.write.mode("overwrite").parquet(deltaDir(k))
 
-  def readDelta(k: Int): DataFrame = spark.read.parquet(deltaDir(k))
+  def readDelta(k: Int): DataFrame =
+    spark.read.schema(SnapshotStore.packedSchema).parquet(deltaDir(k))
 
   /** Rows of one `kind` in round k, with the kind's named columns
     * (parquet filter pushdown on the leading kind column).
@@ -142,7 +157,8 @@ class SnapshotStore(val root: String, spark: SparkSession) {
       .filter(p => Files.exists(p)).map(_.toString)
     if (dirs.isEmpty) None
     else Some(unpack(kind,
-      spark.read.parquet(dirs: _*).filter(col("kind") === kind)))
+      spark.read.schema(SnapshotStore.packedSchema).parquet(dirs: _*)
+        .filter(col("kind") === kind)))
   }
 
   /** Commit a round: MANIFEST.json written last, atomically. */
@@ -174,7 +190,10 @@ class SnapshotStore(val root: String, spark: SparkSession) {
     if (rounds.isEmpty) None else Some(rounds.max)
   }
 
-  /** Per-partition lineage rows of a committed round's manifest. */
+  /** Lineage (metric, partition, total) rows of a committed round's
+    * manifest — totals-only since the Observation fast path (partition
+    * is always 0); per-partition detail lives in the round's
+    * `kind=lineage` delta rows. */
   def readLineage(k: Int): Seq[(String, Int, Long)] = {
     val json = Files.readString(roundDir(k).resolve("MANIFEST.json"))
     """\{"metric":"([^"]+)","partition":(-?\d+),"count":(-?\d+)\}""".r

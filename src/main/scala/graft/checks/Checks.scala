@@ -92,13 +92,23 @@ object Checks {
     }
 
   /** Canonical body of a document: its spans in offset order, fields
-    * joined with control separators. The dup-detection content key
-    * (stands in for the downloaded file bytes, dupdet.py:82-89).
+    * joined with control separators (dupdet.py:82-89's file-bytes view
+    * in the span model).
     */
   def bodyString(spans: Seq[Span]): String =
     spans.sortBy(_.offset).map(s =>
       s"${s.kind}${Option(s.text).getOrElse("")}${Option(s.media_ref).getOrElse("")}")
       .mkString("")
+
+  /** SPAN-STRUCTURAL dup-detection key: the (kind, text, media_ref)
+    * sequence in offset order. This is the body-equality relation the
+    * engine's 128-bit span fold hashes (CrawlRound prepare `bh0`) — the
+    * oracle compares it EXACTLY, so engine/oracle parity depends only
+    * on the fold being collision-free, never on two differently-
+    * decomposed span arrays concatenating to equal strings.
+    */
+  def bodyKey(spans: Seq[Span]): Seq[(String, String, String)] =
+    spans.sortBy(_.offset).map(s => (s.kind, s.text, s.media_ref))
 
   private def ofKind(spansSorted: Column, k: String): Column =
     filter(spansSorted, s => s.getField("kind") === k)

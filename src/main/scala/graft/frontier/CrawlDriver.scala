@@ -101,17 +101,23 @@ object CrawlDriver {
     * billion-URL seed list never loops on the driver.
     */
   private def bootstrapDistributed(spark: SparkSession, cfg: CrawlConfig,
-      store: SnapshotStore, seedSource: Option[DataFrame]): Unit = {
+      store: SnapshotStore, seedSource: Option[DataFrame],
+      seedCountHint: Option[Long]): Unit = {
     import graft.plans.Ranks
     import graft.url.UrlExpressions._
     import spark.implicits._
     val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     // a billion-URL seed list must never exist as a driver Seq: callers
     // at scale pass `seedSource` (columns i: Long unique ascending,
-    // raw: String), generated/read distributively
+    // raw: String), generated/read distributively. A caller-provided
+    // EXACT count (callers know their generated range) skips the max(i)
+    // scan job — one less serial step on the bootstrap critical path.
+    // Exactness matters: nSeeds becomes nextSeq (every seed consumes a
+    // seq, dups included, serial-path semantics), so an over-estimate
+    // would shift all subsequent seq assignment.
     val (raw0, nSeeds) = seedSource match {
       case Some(df) => (df.select(col("i"), col("raw")),
-        df.agg(max(col("i"))).head().getLong(0) + 1L)
+        seedCountHint.getOrElse(df.agg(max(col("i"))).head().getLong(0) + 1L))
       case None => (spark.createDataset(
           cfg.seeds.zipWithIndex.map { case (u, i) => (i.toLong, u) })
         .toDF("i", "raw"), cfg.seeds.size.toLong)
@@ -144,17 +150,24 @@ object CrawlDriver {
       col("canon"), col("decoded"), lit(0).as("depth"),
       lit(null).cast("string").as("expected"))
     val tW = System.nanoTime()
+    // the accepted-seed count rides the write job itself (CollectMetrics
+    // observation) — the former read-back count was one more serial job
+    // on the bootstrap critical path
+    val obs = org.apache.spark.sql.Observation("bootstrap")
     store.writeDelta(-1, asDelta("frontier", -1, frontier)
       .unionByName(asDelta("accepted", -1, accepted))
       .unionByName(asDelta("host_state", -1,
         spark.emptyDataset[HostState].toDF()))
-      .coalesce(parts))
-    val tC = System.nanoTime()
-    val n = store.kindOf(-1, "frontier").count()
+      .coalesce(parts)
+      .observe(obs, sum(when(col("kind") === "frontier", 1L)).as("n")))
+    val n = Option(obs.get.getOrElse("n", null))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     first.unpersist(blocking = false)
     if (sys.env.contains("SPARK_GRAFT_TRACE"))
-      println(f"[bootstrap] write=${(tC - tW) / 1e9}%.1fs " +
-        f"count=${(System.nanoTime() - tC) / 1e9}%.1fs")
+      println(f"[bootstrap] write=${(System.nanoTime() - tW) / 1e9}%.1fs n=$n")
+    // nextSeq advances by the true max assigned seq + 1 = nSeeds only
+    // when nSeeds is exact; with a hint it must still be ≥ every
+    // consumed seq, which i < nSeeds guarantees for ascending i
     store.commit(-1, store.Counters(-1, nSeeds, n, 0L, n, n),
       Seq(("seeds", 0, n)))
   }
@@ -231,7 +244,11 @@ object CrawlDriver {
       compactEvery: Int = 8,
       /** distributed seed table (i: Long unique ascending, raw: String);
         * replaces cfg.seeds for wide frontiers (same push semantics) */
-      seedSource: Option[DataFrame] = None): CrawlRun = {
+      seedSource: Option[DataFrame] = None,
+      /** EXACT seed count (= max(i)+1 of `seedSource`) when the caller
+        * knows it — skips the bootstrap's max(i) scan job. Must be
+        * exact, not an estimate: it becomes the post-bootstrap nextSeq. */
+      seedCountHint: Option[Long] = None): CrawlRun = {
     val store = new SnapshotStore(checkpointDir, spark)
     // cluster mode takes reliable per-round checkpoints (CrawlRound f5c)
     // into the snapshot store's filesystem
@@ -244,7 +261,7 @@ object CrawlDriver {
       // are config-enumerated, never billions)
       val hasData = cfg.seedEntries.exists(_.data.nonEmpty)
       if (!hasData && (seedSource.isDefined || cfg.seeds.size >= distBootstrapMin))
-        bootstrapDistributed(spark, cfg, store, seedSource)
+        bootstrapDistributed(spark, cfg, store, seedSource, seedCountHint)
       else bootstrap(spark, cfg, store)
     }
     if (trace0) println(f"[crawl] bootstrap=${(System.nanoTime() - tB) / 1e9}%.1fs")
@@ -277,11 +294,22 @@ object CrawlDriver {
     if (trace) println(f"[crawl] prep=${(System.nanoTime() - tB) / 1e9}%.1fs (cumulative)")
 
     // ---- cross-round state: parquet-rooted, cumulative parts cached --
+    // Every cumulative part (compacted table AND per-round delta) is
+    // cached HASH-PARTITIONED AND SORTED on its join key: the D1/D4
+    // chains in CrawlRound join the parts one at a time, so the big
+    // cumulative side is Exchange-free every round — only the small
+    // per-round candidate/current sets shuffle. A union-then-join would
+    // re-exchange O(seen) rows per round (UnknownPartitioning), which
+    // is the 10^10-scale killer this layout removes.
+    val parts = nParts
     def seenSel(df: DataFrame): DataFrame =
       df.select(col("canon").as("uri"), col("method"), col("seq"))
+        .repartition(parts, col("uri"))
+        .sortWithinPartitions("uri", "method")
     def dupSel(df: DataFrame): DataFrame =
-      df.select(col("size"), col("bhash"), col("pop"), col("uri"))
-    val parts = nParts
+      df.select(col("size"), col("bhash"), col("bhash2"), col("pop"), col("uri"))
+        .repartition(parts, col("bhash"))
+        .sortWithinPartitions("size", "bhash", "bhash2")
     // the frontier parquet is small, so a bare read lands in ~1 input
     // split — an explicit hash repartition keeps the round's narrow
     // pipeline at full parallelism; partitioning on `uri` doubles as
@@ -293,14 +321,15 @@ object CrawlDriver {
     val dupParts = scala.collection.mutable.ArrayBuffer[DataFrame](
       store.kindUnion(last, "dup_state").map(dupSel)
         .getOrElse(spark.emptyDataFrame
-          .select(lit(0L).as("size"), lit(0L).as("bhash"), lit(0L).as("pop"),
-            lit("").as("uri")).limit(0)).persist(MEMORY_AND_DISK))
+          .select(lit(0L).as("size"), lit(0L).as("bhash"), lit(0L).as("bhash2"),
+            lit(0L).as("pop"), lit("").as("uri")).limit(0)).persist(MEMORY_AND_DISK))
     val mapParts = scala.collection.mutable.ArrayBuffer[DataFrame](
       store.kindUnion(last, "known_maps").map(_.select(col("uri")))
         .getOrElse(spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
         .persist(MEMORY_AND_DISK))
+    // the flat union remains ONLY for the bloom (re)build, a full-scan
+    // aggregation with no partitioning requirement
     def seenCum: DataFrame = seenParts.reduce(_ unionByName _)
-    def dupCum: DataFrame = dupParts.reduce(_ unionByName _)
     def mapsCum: DataFrame = mapParts.reduce(_ unionByName _)
     var frontier = frontierSel(store.kindOf(last, "frontier"))
     var hostState = store.kindOf(last, "host_state").select("host", "lastVisitS")
@@ -325,7 +354,8 @@ object CrawlDriver {
       Some(UrlSeen.deserialize(UrlSeen.buildBloom(src,
         UrlSeen.seenKey(col("uri"), col("method")), cap)))
     var bloomFut: Future[Option[BloomFilter]] =
-      if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L)) {
+      if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L) &&
+          UrlSeen.bloomWithinBudget(bloomCapacity)) {
         val src = seenCum; val cap = bloomCapacity
         Future(fullBloom(src, cap))(bloomEc)
       } else Future.successful(None)
@@ -334,7 +364,8 @@ object CrawlDriver {
       val round = c.round + 1
       val tR = System.nanoTime()
       val out = CrawlRound.run(spark, world, cfg,
-        CrawlRound.RoundIn(round, frontier, seenCum, hostState, dupCum, mapsCum,
+        CrawlRound.RoundIn(round, frontier, seenParts.toSeq, hostState,
+          dupParts.toSeq, mapsCum,
           c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount,
           () => Await.result(bloomFut, Duration.Inf).map(bloomToBytes)))
 
@@ -403,14 +434,20 @@ object CrawlDriver {
 
       // ---- every K rounds: compact cumulative parts to one table ------
       if (doCompact) {
-        def compact(parts: scala.collection.mutable.ArrayBuffer[DataFrame]): Unit = {
+        def compact(parts: scala.collection.mutable.ArrayBuffer[DataFrame],
+            rekey: DataFrame => DataFrame): Unit = {
           // materialize the union into one checkpointed leaf (cached
           // blocks, truncated lineage), then release the per-round parts.
+          // The union is RE-KEYED (hash-partitioned + sorted on the join
+          // key) before the checkpoint — Dataset.checkpoint captures the
+          // physical plan's partitioning/ordering into the LogicalRDD, so
+          // the compacted table keeps joining Exchange-free; one shuffle
+          // per compaction buys shuffle-free rounds until the next one.
           // localCheckpoint blocks live in executor block managers and
           // die with a lost executor — on a cluster the truncated
           // lineage would make the cumulative state unrecoverable, so
           // use the reliable checkpoint there (same rule as f5c).
-          val u = parts.reduce(_ unionByName _)
+          val u = rekey(parts.reduce(_ unionByName _))
           val merged =
             if (spark.sparkContext.isLocal) u.localCheckpoint()
             else u.checkpoint()
@@ -418,7 +455,22 @@ object CrawlDriver {
           parts.clear()
           parts += merged
         }
-        compact(seenParts); compact(dupParts); compact(mapParts)
+        compact(seenParts, _.repartition(parts, col("uri"))
+          .sortWithinPartitions("uri", "method"))
+        compact(dupParts, _.repartition(parts, col("bhash"))
+          .sortWithinPartitions("size", "bhash", "bhash2"))
+        compact(mapParts, identity)
+        // Counter/lineage invariant (cheap: one count over the blocks
+        // the checkpoint just materialized, once per compactEvery
+        // rounds): the Observation-derived `seenCount` — an accumulator
+        // value, a weaker guarantee than committed data — must equal the
+        // durably committed accepted-row count, because every subsequent
+        // seq/pos assignment builds on it. Drift here means lost/dup
+        // delta rows and must stop the crawl, not shift it silently.
+        val committedSeen = seenParts.head.count()
+        require(committedSeen == c.seenCount,
+          s"seen-count drift at compaction round $round: committed " +
+            s"$committedSeen rows vs observed counter ${c.seenCount}")
       }
 
       // ---- bloom maintenance, dispatched async (awaited by the NEXT
@@ -437,7 +489,15 @@ object CrawlDriver {
           c.seenCount > bloomCapacity / 4) {
         bloomCapacity = 4L * c.seenCount
         val cap = bloomCapacity
-        bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
+        // capacity policy (UrlSeen.bloomWithinBudget): past the
+        // broadcast budget the re-sized bitset is undeliverable and an
+        // under-sized bloom's FP rate → 1 (a no-op prefilter that still
+        // costs a probe per candidate) — drop the bloom; the exact
+        // anti-join band IS the correctness path and simply sees every
+        // candidate from here on
+        bloomFut =
+          if (UrlSeen.bloomWithinBudget(cap)) Future(fullBloom(seenCumNow, cap))(bloomEc)
+          else Future.successful(None)
       } else if (useBloom && acceptedCount > 0) prevBloom match {
         case Some(b) =>
           val cap = bloomCapacity
@@ -446,7 +506,8 @@ object CrawlDriver {
               UrlSeen.seenKey(col("uri"), col("method")), cap)))
             Some(b)
           })(bloomEc)
-        case None if c.seenCount >= math.max(bloomMinSeen, 1L) =>
+        case None if c.seenCount >= math.max(bloomMinSeen, 1L) &&
+            UrlSeen.bloomWithinBudget(bloomCapacity) =>
           val cap = bloomCapacity
           bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
         case None => ()

@@ -67,9 +67,35 @@ object CrawlRound {
       col("status").as("t_status"), col("content_type").as("t_ct"),
       col("content_length").as("t_len"), col("detected_mime").as("t_mime"),
       col("canonical_to").as("t_canon"), col("cookies").as("t_cookies"))
-    val fetchMap = um.join(umT, um("redirect_to") === col("t_url"), "left")
+    // ---- multi-hop redirect resolution by POINTER DOUBLING over the
+    // redirect-only subset (net.py:104-107: requests follows chains up
+    // to max_redirects; beyond that — or on a loop — TooManyRedirects
+    // → DONE-KO). After k self-joins each chain head points min(L, 2^k)
+    // hops down its chain, so with 2^k > maxRedirects every legal chain
+    // is fully resolved and every loop / over-budget chain is exactly
+    // the set { hops > maxRedirects }. ceil(log2)+1 joins of the (small)
+    // redirect subset, once per crawl — never maxRedirects joins of the
+    // full fetch map.
+    val doublings = 64 - java.lang.Long.numberOfLeadingZeros(
+      math.max(1, cfg.maxRedirects).toLong) // smallest k with 2^k > max
+    var rr = um.filter(col("redirect_to").isNotNull)
+      .select(col("url").as("r_url"), col("redirect_to").as("r_next"),
+        lit(1L).as("r_hops"))
+    for (_ <- 0 until doublings.toInt) {
+      val rt = rr.select(col("r_url").as("j_url"), col("r_next").as("j_next"),
+        col("r_hops").as("j_hops"))
+      rr = rr.join(rt, col("r_next") === col("j_url"), "left")
+        .select(col("r_url"),
+          coalesce(col("j_next"), col("r_next")).as("r_next"),
+          (col("r_hops") + coalesce(col("j_hops"), lit(0L))).as("r_hops"))
+    }
+    val rmap = rr.select(col("r_url"),
+      col("r_next"), (col("r_hops") > cfg.maxRedirects).as("r_toomany"))
+    val fetchMap = um.join(rmap, um("url") === col("r_url"), "left")
       .withColumn("redirected", col("redirect_to").isNotNull)
+      .join(umT, col("r_next") === col("t_url"), "left")
       .select(col("url"),
+        coalesce(col("r_toomany"), lit(false)).as("tooMany"),
         when(col("redirected"), coalesce(col("t_status"), lit(404)))
           .otherwise(col("status")).as("finStatus"),
         coalesce(when(col("redirected"), col("t_ct")).otherwise(col("content_type")), lit(""))
@@ -77,7 +103,7 @@ object CrawlRound {
         when(col("redirected"), col("t_doc_id")).otherwise(col("doc_id")).as("finDocId"),
         when(col("redirected"), col("t_len")).otherwise(col("content_length")).as("finLen"),
         when(col("redirected"), col("t_mime")).otherwise(col("detected_mime")).as("finMime"),
-        when(col("redirected"), col("redirect_to")).otherwise(lit(null)).as("redirTarget"),
+        when(col("redirected"), col("r_next")).otherwise(lit(null)).as("redirTarget"),
         when(col("redirected"), col("t_canon")).otherwise(col("canonical_to")).as("finCanon"),
         when(col("redirected"), col("t_cookies")).otherwise(col("cookies")).as("finCookies"))
     // agent scoping as the reference's robots parser applies it: the
@@ -114,15 +140,24 @@ object CrawlRound {
         size(filter(col("spansSorted"),
           sp => sp.getField("kind") === "sitemap-loc")).as("nlocs"),
         // dup-detection content key: an incremental fold over the spans
-        // (xxhash64 chaining) instead of hashing a materialized
-        // concatenation — the page body never exists as one string, so
-        // the parse pass allocates O(1) per span. Any deterministic
-        // body-equality key works here: the oracle's serial twin
-        // compares the actual body (Checks.bodyString), so parity is
-        // independent of the hash function.
-        aggregate(col("spansSorted"), lit(42L),
-          (h, s) => xxhash64(h, s.getField("kind"), s.getField("text"),
-            s.getField("media_ref"))).as("bhash0"),
+        // (two differently-seeded xxhash64 chains in ONE pass) instead
+        // of hashing a materialized concatenation — the page body never
+        // exists as one string, so the parse pass allocates O(1) per
+        // span. The key is SPAN-STRUCTURAL (two bodies are "equal" iff
+        // their (kind,text,media_ref) span sequences are equal), and the
+        // oracle's serial twin compares the same structural key exactly
+        // (Checks.bodyKey), so parity depends only on the 128-bit fold
+        // being collision-free: at 10^10 pages the birthday bound
+        // expects (10^10)²/2^129 ≈ 1.5e-19 colliding pairs — a 64-bit
+        // key would expect ~3 real collisions (each a false `dup`
+        // defect), which is why the fold runs two lanes.
+        aggregate(col("spansSorted"),
+          struct(lit(42L).as("a"), lit(4242L).as("b")),
+          (h, s) => struct(
+            xxhash64(h.getField("a"), s.getField("kind"), s.getField("text"),
+              s.getField("media_ref")).as("a"),
+            xxhash64(h.getField("b"), s.getField("kind"), s.getField("text"),
+              s.getField("media_ref")).as("b"))).as("bh0"),
         try_element_at(filter(col("spansSorted"),
           s => s.getField("kind") === "canonical"), lit(1))
           .getField("text").as("canonText"),
@@ -136,9 +171,15 @@ object CrawlRound {
   case class RoundIn(
       round: Int,
       frontier: DataFrame, // seq,pos,uri,origUri,depth,srcSeq,method,expected
-      seen: DataFrame, // uri, method, seq
+      /** cumulative seen set as PARTS (compacted table + per-round
+        * deltas), each cached hash-partitioned+sorted on (uri, method)
+        * so the D1 anti-join chain never re-exchanges the seen side
+        * (SURVEY §4 physical note). Columns: uri, method, seq. */
+      seen: Seq[DataFrame],
       hostState: DataFrame, // host, lastVisitS
-      dupState: DataFrame, // size, bhash, pop, uri (dupdetect accumulator)
+      /** dupdetect accumulator parts (same layout discipline as `seen`,
+        * partitioned on bhash): size, bhash, bhash2, pop, uri */
+      dupState: Seq[DataFrame],
       knownMaps: DataFrame, // uri (D3 known-sitemaps set)
       nextSeq: Long, nextPos: Long, seenCount: Long,
       /** frontier pos range [posLo, nextPos) — bounded-rank bucket keys */
@@ -239,6 +280,7 @@ object CrawlRound {
       when(col("gate") =!= "pass", col("gate"))
         .when(!url_is_http(col("uriN")), "scheme")
         .when(col("url").isNull, "neterr")
+        .when(col("tooMany"), "toomany") // NetworkError, but NO defect
         .when(col("finStatus") =!= 200, "badstatus")
         .when(!col("ct").isin(cfg.acceptedTypes: _*), "cttype")
         .when(maxLenGate, "toolong")
@@ -303,7 +345,7 @@ object CrawlRound {
       // resolution columns (url/uriN/redirect/canonical) can be dropped
       // from the checkpoint row entirely
       .withColumn("reached200", (col("gate") === "pass") &&
-        url_is_http(col("uriN")) &&
+        url_is_http(col("uriN")) && col("fetchClass") =!= "toomany" &&
         col("url").isNotNull && (col("finStatus") === 200))
       .withColumn("hasSpans", coalesce(col("hasSpans"), lit(false)))
       // G1/G2 kid candidate arrays, gates baked in — size() is the
@@ -323,7 +365,7 @@ object CrawlRound {
           col("locsRaw")))
       .drop("doc_id", "preDef", "canonText", "rrules", "linkSpans", "locsRaw",
         "uriN", "fetchKey", "finalUrl", "redirTarget", "finCanon",
-        "url", "finDocId")
+        "url", "finDocId", "tooMany")
 
     // Every output branches off f5 / kids2 / accepted. f5 is EAGERLY
     // checkpointed (not merely persisted): ~8 output branches reference
@@ -336,9 +378,18 @@ object CrawlRound {
     // used in local mode; a cluster run takes a reliable checkpoint to
     // sparkContext's checkpoint dir (CrawlDriver points it at the
     // snapshot root).
+    // LAZY in local mode: localCheckpoint(eager=false) truncates the
+    // logical plan to a LogicalRDD leaf at construction (the property
+    // the branches need) while the actual materialization rides the
+    // round's ONE write job instead of a separate up-front job — one
+    // fewer serial job barrier per round. Block-manager per-partition
+    // locks keep it compute-once inside that job. A cluster run still
+    // takes the eager RELIABLE checkpoint: lazy reliable checkpointing
+    // recomputes the pipeline a second time to write the checkpoint
+    // files, and recovery must not depend on executor-local blocks.
     val tF0 = System.nanoTime()
     val f5c =
-      if (spark.sparkContext.isLocal) f5.localCheckpoint()
+      if (spark.sparkContext.isLocal) f5.localCheckpoint(eager = false)
       else f5.checkpoint()
     if (sys.env.contains("SPARK_GRAFT_TRACE"))
       println(f"[round ${in.round}] f5cJob=${(System.nanoTime() - tF0) / 1e9}%.1fs")
@@ -349,7 +400,8 @@ object CrawlRound {
 
     // ---- transactions delta (only DONE-OK persists uri/ct/status) ----
     val statusCol =
-      when(col("fetchClass").isin("invalid", "neterr", "badstatus"), VerificationStatus.DoneKo)
+      when(col("fetchClass").isin("invalid", "neterr", "toomany", "badstatus"),
+        VerificationStatus.DoneKo)
         .when(col("fetchClass") === "ok", VerificationStatus.DoneOk)
         .otherwise(VerificationStatus.DoneIgnored)
     val txProcessed = processed.select(
@@ -390,12 +442,24 @@ object CrawlRound {
     val okDocs = processed.filter(col("fetchClass") === "ok" && col("hasSpans") &&
       Checks.gateCol(cfg, "dupdetect", col("ct"), col("uriOk")))
     val dupCur = okDocs.select(col("pos"), col("seq"), col("uriOk").as("uri"),
-      col("finLen").as("size"), col("bhash0").as("bhash"))
-    val dupStateDelta = dupCur.select(col("size"), col("bhash"), col("pos").as("pop"), col("uri"))
-    val priors = in.dupState.unionByName(dupStateDelta)
-      .select(col("size"), col("bhash"), col("pop").as("p_pop"), col("uri").as("p_uri"))
-    val dupDefects = dupCur.join(priors, Seq("size", "bhash"))
-      .filter(col("p_uri") =!= col("uri") && col("p_pop") < col("pos"))
+      col("finLen").as("size"),
+      col("bh0").getField("a").as("bhash"), col("bh0").getField("b").as("bhash2"))
+    val dupStateDelta = dupCur.select(col("size"), col("bhash"), col("bhash2"),
+      col("pos").as("pop"), col("uri"))
+    // prior parts joined ONE BY ONE (hit ∪ over parts ≡ hits vs the
+    // parts' union): the cumulative parts are cached hash-partitioned
+    // on bhash, so each join is Exchange-free on the prior side —
+    // dupCur shuffles once, then streams through the chain; the final
+    // min-aggregate over the unioned (tiny) hit sets recovers the
+    // earliest prior exactly as the single-join form did
+    val dupHits = (in.dupState :+ dupStateDelta).map { part =>
+      val p = part.select(col("size"), col("bhash"), col("bhash2"),
+        col("pop").as("p_pop"), col("uri").as("p_uri"))
+      dupCur.join(p, Seq("size", "bhash", "bhash2"))
+        .filter(col("p_uri") =!= col("uri") && col("p_pop") < col("pos"))
+        .select(col("pos"), col("seq"), col("p_pop"), col("p_uri"))
+    }.reduce(_ unionByName _)
+    val dupDefects = dupHits
       .groupBy(col("pos"), col("seq"))
       .agg(min(struct(col("p_pop"), col("p_uri"))).as("first"))
       .select(col("pos").as("popPos"), lit(4).as("phase"), col("seq").as("responseSeq"),
@@ -520,11 +584,20 @@ object CrawlRound {
       .select(kidCols.map(col): _*)
 
     // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
-    // (sitemap_scanner.py:118-124 pushes the <loc> string directly) ----
+    // (sitemap_scanner.py:118-124 pushes the <loc> string directly).
+    // When BOTH links_finder and sitemap_scanner fire on one page
+    // (configurable gates may overlap even though the defaults are
+    // content-type-disjoint), the serial reference pushes the link
+    // children first (plugin order) and the scanner's locs after —
+    // offsetting the loc childIdx by the page's link-kid count keeps
+    // the per-parent seqs collision-free and the queue arrival order
+    // (creatorPos, childIdx) faithful to that serial append order.
     val smLocKids = parents
       .select(col("parentSeq"), col("parentPos"), col("depth"), col("base"),
         col("sbase"), col("vcnt"),
-        posexplode(col("locArr")).as(Seq("childIdx", "loc")))
+        coalesce(size(col("kidArr")), lit(0)).as("nk"),
+        posexplode(col("locArr")).as(Seq("locIdx", "loc")))
+      .withColumn("childIdx", col("nk") + col("locIdx"))
       .withColumn("seq",
         dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
       .withColumn("decoded", url_unquote2(col("loc")))
@@ -588,7 +661,7 @@ object CrawlRound {
         col("k.smHost").as("smHost"))
       .withColumn("method", lit("GET"))
     val newItems = UrlSeen.dedupeAgainstSeen(
-      firstKids, in.seen.select(col("uri").as("canon"), col("method")),
+      firstKids, in.seen.map(_.select(col("uri").as("canon"), col("method"))),
       "canon", "method", in.seenBloom())
 
     // urlLimit (F10): global dense rank by seq vs the remaining budget;

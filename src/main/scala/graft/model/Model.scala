@@ -152,7 +152,13 @@ case class CrawlConfig(
       */
     seedEntries: Seq[SeedEntry] = Nil,
     /** transaction.py:207-210 `recordParams`. */
-    recordParams: Boolean = true) {
+    recordParams: Boolean = true,
+    /** Max transparent redirect hops per fetch (requests'
+      * session.max_redirects; net.py:104-107 surfaces TooManyRedirects
+      * as NetworkError → core.py:141-143 __handle_err → DONE-KO with
+      * NO defect row). A chain needing more hops than this — or a
+      * redirect loop — dies DONE-KO. */
+    maxRedirects: Int = 8) {
   /** The effective entry-point list. */
   def effectiveSeeds: Seq[SeedEntry] =
     if (seedEntries.nonEmpty) seedEntries else seeds.map(SeedEntry(_))
@@ -232,7 +238,13 @@ case class SeenRow(uri: String, method: String, seq: Long)
   */
 case class HostState(host: String, lastVisitS: Double)
 
-/** Per-round, per-partition lineage counts (north-rule requirement). */
+/** Per-round lineage counts (north-rule requirement). The durable
+  * per-partition split is written as `kind=lineage` rows INSIDE each
+  * round's delta (CrawlRound keys them by spark_partition_id); the
+  * manifest records per-metric TOTALS observed on the write job
+  * (CollectMetrics), validated against the committed rows at every
+  * compaction (CrawlDriver's seen-count invariant).
+  */
 case class LineageRow(
     round: Int,
     partitionId: Int,

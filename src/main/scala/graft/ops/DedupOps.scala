@@ -57,13 +57,23 @@ object DedupOps {
   }
 
   /** MinHash signature: K permutations h_i(x) = xxhash64(xxhash64(x), i);
-    * signature[i] = min over shingles. ONE pass over the shingle array
-    * (each shingle string-hashed once, then K cheap long-mixes) — the
-    * naive transform-over-permutations form re-evaluated the whole
-    * shingle expression K times per row, which dominated the round-1
-    * bench.
+    * signature[i] = min over shingles. A native expression
+    * ([[MinHashSig]]): one pass over the shingle array, each shingle
+    * string-hashed once then K cheap long-mixes in a compiled loop —
+    * the higher-order aggregate/zip_with form (kept below for the
+    * equivalence spec) allocated a K-array per shingle in interpreted
+    * lambda eval and dominated dd_minhash_pairs in BENCH_r04.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+    toColumn(MinHashSig(toExpression(shingleCol), k))
+  }
+
+  /** The pre-round-5 higher-order-function form of [[minhashSignature]];
+    * retained as the independent reference implementation the native
+    * expression is unit-tested bit-for-bit against.
+    */
+  def minhashSignatureHof(shingleCol: Column, k: Int): Column =
     aggregate(
       transform(shingleCol, s => xxhash64(s)),
       array_repeat(lit(Long.MaxValue), k),

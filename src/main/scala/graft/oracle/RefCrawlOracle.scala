@@ -115,9 +115,11 @@ object RefCrawlOracle {
     def delayOf(host: String): Option[Double] =
       world.hosts.get(host).flatMap(_.crawl_delay_s)
 
-    // dupdetect accumulator: (size, canonical body) → [(pop, uri)...]
+    // dupdetect accumulator: (size, span-structural body key) →
+    // [(pop, uri)...] (Checks.bodyKey — the relation the engine's
+    // 128-bit span fold hashes)
     val dupPriors = mutable.HashMap
-      .empty[(Long, String), mutable.ArrayBuffer[(Long, String)]]
+      .empty[(Long, Seq[(String, String, String)]), mutable.ArrayBuffer[(Long, String)]]
 
     /** Checker plugins over the span model (graft.checks.Checks phases;
       * run after linksFinder per declared plugin order).
@@ -130,7 +132,7 @@ object RefCrawlOracle {
         graft.checks.Checks.gateLocal(cfg, plugin, ct, item.uri)
       val spans = doc.spans.sortBy(_.offset)
       if (on("dupdetect")) { // phase 4 — dupdet acceptType=true (all CTs)
-        val key = (entry.content_length, graft.checks.Checks.bodyString(doc.spans))
+        val key = (entry.content_length, graft.checks.Checks.bodyKey(doc.spans))
         val priors = dupPriors.getOrElseUpdate(key, mutable.ArrayBuffer.empty)
         priors.find(_._2 != item.uri).foreach { case (_, puri) =>
           defect(item.seq, "dup", puri, 0.7, 4)
@@ -364,13 +366,23 @@ object RefCrawlOracle {
                 defect(item.seq, "neterr", "All %s attempts to get %s failed.", 0.9, 0)
                 finishRaw(VerificationStatus.DoneKo)
               case Some(entry0) =>
-                val (entry, finalUrl) =
-                  if (entry0.redirect_to != null)
-                    (world.urlMap.getOrElse(entry0.redirect_to,
-                      UrlMapEntry(entry0.redirect_to, null, 404, null, "", 0L, null)),
-                      entry0.redirect_to)
-                  else (entry0, fetchUri)
-                if (entry.status != 200) {
+                // transparent redirect CHAIN (requests follows up to
+                // session.max_redirects, net.py:104-107): hop until a
+                // non-redirect entry or the hop budget runs out; a loop
+                // or an over-budget chain raises TooManyRedirects →
+                // NetworkError → DONE-KO with NO defect (core.py:141-143)
+                var entry = entry0
+                var finalUrl = fetchUri
+                var hops = 0
+                while (entry.redirect_to != null && hops < cfg.maxRedirects) {
+                  finalUrl = entry.redirect_to
+                  entry = world.urlMap.getOrElse(entry.redirect_to,
+                    UrlMapEntry(entry.redirect_to, null, 404, null, "", 0L, null))
+                  hops += 1
+                }
+                if (entry.redirect_to != null) {
+                  finishRaw(VerificationStatus.DoneKo) // too many redirects
+                } else if (entry.status != 200) {
                   defect(item.srcSeq, "badlink", item.uri, 1.0, 0)
                   finishRaw(VerificationStatus.DoneKo)
                 } else {
@@ -440,13 +452,17 @@ object RefCrawlOracle {
                             entry.content_length.toString, 0.6, 12)
                         if (locs.size > cfg.sitemapMaxRecords)
                           defect(item.seq, "sitemaprecords", locs.size.toString, 0.6, 12)
+                        // arrival keys offset past every links_finder
+                        // child: when BOTH plugins fire on one page the
+                        // serial queue appends the link children first
+                        // (plugin order), then the scanner's locs
                         var ci = 0L
                         for (sp <- locs) {
                           val p = UrlFuncs.scheme(sp.text)
                           if (p == "http" || p == "https")
                             push(sp.text, item.depth + 1, item.seq, None,
                                 hasParent = true, referer = item.uri)
-                              .foreach(child => next += ((item.pos, 1L + ci, child)))
+                              .foreach(child => next += ((item.pos, 1000000000L + ci, child)))
                           ci += 1
                         }
                       }

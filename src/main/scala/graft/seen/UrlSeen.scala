@@ -35,6 +35,27 @@ object UrlSeen {
   def seenKey(uri: Column, method: Column): Column =
     xxhash64(concat_ws("\u001f", uri, method))
 
+  /** Bitset bytes of a bloom sized for `expectedItems` at `fpp`
+    * (Spark's optimal-m formula: m = −n·ln p ∕ ln²2).
+    */
+  def bloomBytes(expectedItems: Long, fpp: Double = 1e-4): Long =
+    BloomFilter.optimalNumOfBits(math.max(expectedItems, 1L), fpp) / 8L
+
+  /** Single-merged-bloom capacity policy: the prefilter only pays while
+    * its bitset is cheaply broadcastable — at 4×10^10 capacity the
+    * bitset is ~90 GB, which no executor can hold, so past
+    * `budgetBytes` the driver DROPS the bloom and the exact anti-join
+    * band (always the source of truth) carries dedup alone. Correctness
+    * never depends on this switch; only the shuffle-reduction benefit
+    * does. The 10^10-scale alternative (per-host-hash partitioned
+    * blooms, only candidate-host partitions broadcast) keeps a
+    * prefilter past this budget at the cost of a bloom-per-partition
+    * build; this policy is the honest single-bloom boundary.
+    */
+  def bloomWithinBudget(expectedItems: Long, fpp: Double = 1e-4,
+      budgetBytes: Long = 256L << 20): Boolean =
+    bloomBytes(expectedItems, fpp) <= budgetBytes
+
   /** Distributed bloom build over a Long key column. */
   class BloomAggregator(expectedItems: Long, fpp: Double)
       extends Aggregator[Long, BloomFilter, Array[Byte]] {
@@ -66,13 +87,25 @@ object UrlSeen {
   /** candidates ∖ seen on `uriCol`/`methodCol` (exact), with the bloom
     * prefilter splitting candidates into definitely-new (bypass the
     * shuffle) and maybe-seen (verified by left_anti).
+    *
+    * `seen` is a list of PARTS (per-round deltas plus the last
+    * compacted table): `c ∖ (s₁ ∪ s₂ ∪ …) ≡ ((c ∖ s₁) ∖ s₂) ∖ …`, and
+    * the chained form is the one that scales — a union of parts has
+    * UnknownPartitioning, so a single anti-join against it re-exchanges
+    * the ENTIRE cumulative seen set every round, while each part cached
+    * hash-partitioned (and sorted) on the key joins Exchange-free on
+    * the seen side forever; only the (small) per-round candidate set
+    * shuffles, once, and then streams through the chain reusing its
+    * partitioning and sort order.
     */
-  def dedupeAgainstSeen(candidates: DataFrame, seen: DataFrame,
+  def dedupeAgainstSeen(candidates: DataFrame, seen: Seq[DataFrame],
       uriCol: String, methodCol: String, bloomBytes: Option[Array[Byte]]): DataFrame = {
-    val seenKeyed = seen.select(col(uriCol).as("__s_uri"), col(methodCol).as("__s_m"))
     def anti(df: DataFrame): DataFrame =
-      df.join(seenKeyed,
-        df(uriCol) === col("__s_uri") && df(methodCol) === col("__s_m"), "left_anti")
+      seen.foldLeft(df) { (acc, part) =>
+        val seenKeyed = part.select(col(uriCol).as("__s_uri"), col(methodCol).as("__s_m"))
+        acc.join(seenKeyed,
+          acc(uriCol) === col("__s_uri") && acc(methodCol) === col("__s_m"), "left_anti")
+      }
     bloomBytes match {
       case None => anti(candidates)
       case Some(bytes) =>

@@ -91,7 +91,19 @@ final case class WorldSpec(
     /** every k-th link becomes a css-link to a companion text/css
       * document carrying css-err spans (tinycss validator,
       * tinycss_css_validator_plugin.py:19-37); 0 disables */
-    cssEvery: Int = 0)
+    cssEvery: Int = 0,
+    /** every k-th HTML doc additionally carries sitemap-loc spans — with
+      * a sitemap_scanner gate widened to text/html, links_finder AND the
+      * scanner both fire on one page (overlapping-gates seq/order
+      * semantics); 0 disables */
+    locInHtmlEvery: Int = 0,
+    /** every k-th redirect alias becomes a CHAIN: /r/{d} → /r2/{d} →
+      * ... (redirectChainLen hops) → the doc URL; one such chain per
+      * world additionally LOOPS (too-many-redirects DONE-KO path);
+      * 0 keeps all redirects single-hop */
+    redirectChainEvery: Int = 0,
+    /** hop count of chained redirects (incl. the final hop to the doc) */
+    redirectChainLen: Int = 3)
 
 object WorldGen {
 
@@ -293,6 +305,16 @@ object WorldGen {
         buf += Span("tidy-msg", msg, cat + "|" + loc, o2); o2 += 10
       }
     }
+    if (s.locInHtmlEvery > 0 && pmod(mix(s.seed, 57L, d), s.locInHtmlEvery) == 0) {
+      // sitemap-loc spans INSIDE an html doc: fire sitemap_scanner on
+      // the same page as links_finder when its gate is widened to html
+      val n = 1 + pmod(mix(s.seed, 58L, d), 2)
+      for (i <- 0 until n) {
+        buf += Span("sitemap-loc",
+          docUrl(s, pmod(mix(s.seed, 59L, d, i.toLong), s.nDocs).toLong), null, o2)
+        o2 += 10
+      }
+    }
     if (s.nonsemEvery > 0 && pmod(mix(s.seed, 43L, d), s.nonsemEvery) == 0) {
       // html-tag spans: text = tag, media_ref = CSV of present attrs;
       // mixes deprecated tags, deprecated attrs, and clean descendants
@@ -375,6 +397,34 @@ object WorldGen {
       docUrl(s, d) + "?chdr=1"
     else null
 
+  // ---- redirect chains (multi-hop, net.py:106-107 TooManyRedirects) --
+  def isChained(s: WorldSpec, d: Long): Boolean =
+    s.redirectChainEvery > 0 && pmod(mix(s.seed, 60L, d), s.redirectChainEvery) == 0
+  /** a quarter of the chained aliases LOOP (never resolve) — the
+    * too-many-redirects DONE-KO path; local rule, no global scan */
+  def chainLoops(s: WorldSpec, d: Long): Boolean =
+    isChained(s, d) && pmod(mix(s.seed, 61L, d), 4) == 0
+  def chainHopUrl(s: WorldSpec, d: Long, i: Int): String =
+    s"http://${hostName(hostOf(s, d))}/rc$i/$d"
+
+  /** Redirect alias entries for doc d: a single 301 hop by default;
+    * with `redirectChainEvery`, every k-th doc's alias becomes a
+    * bounded chain /r/d → /rc1/d → … → the doc URL (redirectChainLen
+    * hops), and looping chains point their last hop back at /r/d.
+    */
+  def redirectEntriesOf(s: WorldSpec, d: Long): Seq[UrlMapEntry] = {
+    def hop(u: String, to: String) =
+      UrlMapEntry(u, null, 301, to, "text/html", 0L, null)
+    if (!isChained(s, d)) Seq(hop(redirectUrl(s, d), docUrl(s, d)))
+    else {
+      val len = math.max(2, s.redirectChainLen)
+      val urls = redirectUrl(s, d) +: (1 until len).map(i => chainHopUrl(s, d, i))
+      val fin = if (chainLoops(s, d)) redirectUrl(s, d) else docUrl(s, d)
+      val tgts = urls.drop(1) :+ fin
+      urls.lazyZip(tgts).map(hop)
+    }
+  }
+
   def urlMapEntries(s: WorldSpec): Seq[UrlMapEntry] = {
     val docs = (0L until s.nDocs).map { d =>
       UrlMapEntry(docUrl(s, d), docId(d), 200, null, "text/html;charset=utf-8",
@@ -387,9 +437,7 @@ object WorldGen {
         1000 + pmod(mix(s.seed, 12L, i), 100000).toLong,
         if (mish) "image/jpeg" else "image/png")
     }
-    val redirects = (0L until s.nDocs).map { d =>
-      UrlMapEntry(redirectUrl(s, d), null, 301, docUrl(s, d), "text/html", 0L, null)
-    }
+    val redirects = (0L until s.nDocs).flatMap(d => redirectEntriesOf(s, d))
     val missing = (0L until 20L).map { k =>
       UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)
     }
@@ -469,8 +517,7 @@ object WorldGen {
           1000 + pmod(mix(s.seed, 12L, i), 100000).toLong,
           if (mish) "image/jpeg" else "image/png")
       })
-      .union(spark.range(s.nDocs).map(d =>
-        UrlMapEntry(redirectUrl(s, d), null, 301, docUrl(s, d), "text/html", 0L, null)))
+      .union(spark.range(s.nDocs).flatMap(d => redirectEntriesOf(s, d)))
       .union(spark.range(20).map(k =>
         UrlMapEntry(missingUrl(s, k), null, 404, null, "text/html", 0L, null)))
       .union(sitemapUrlMap(s).toDS())

@@ -322,6 +322,73 @@ class EngineParitySpec extends AnyFunSuite {
     assert(oracle.transactions.values.exists(_.uri == paramUrl))
   }
 
+  test("parity: overlapping plugin gates (links_finder + sitemap_scanner on one page)") {
+    // widen the scanner's gate to text/html so BOTH crawler plugins fire
+    // on pages that carry link spans AND sitemap-loc spans: link kids
+    // must consume seqs and queue slots BEFORE the scanner's loc pushes
+    val spec = WorldSpec("overlap-gates", nHosts = 3, nDocs = 40,
+      locInHtmlEvery = 2, missingEvery = 9)
+    val c = cfg(spec).copy(pluginGates = PluginGate.defaults +
+      ("sitemap_scanner" -> PluginGate(Seq("text/html", "application/gzip",
+        "text/xml", "application/xml"))))
+    val lw = WorldGen.localWorld(spec)
+    val linkKinds = Set("link", "css-link", "img", "iframe", "frame")
+    assert(lw.docs.values.exists(d => d.spans.exists(_.kind == "sitemap-loc") &&
+      d.spans.exists(s => linkKinds(s.kind))),
+      "world must contain a page where both plugins fire")
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+  }
+
+  test("parity: multi-hop redirect chains + too-many-redirects DONE-KO") {
+    val spec = WorldSpec("redirect-chains", nHosts = 3, nDocs = 40,
+      redirectEvery = 3, redirectChainEvery = 2, redirectChainLen = 3)
+    val c = cfg(spec).copy(maxRedirects = 4)
+    val (o, r) = runBoth(spec, c)
+    assertParity(o, r)
+    // non-vacuous: some chain resolved multi-hop (a DONE-OK transaction
+    // whose pushed uri was a /r/ alias of a chained doc) and some loop
+    // died DONE-KO without any defect row
+    val lw = WorldGen.localWorld(spec)
+    val chained = (0L until spec.nDocs).filter(d => WorldGen.isChained(spec, d))
+    assert(chained.nonEmpty, "chain world must contain chains")
+    val loops = chained.filter(d => WorldGen.chainLoops(spec, d))
+      .map(d => WorldGen.redirectUrl(spec, d)).toSet
+    val koSeqs = o.transactions.values.filter(t =>
+      loops.contains(t.uri) &&
+        t.verificationStatus == VerificationStatus.DoneKo).map(_.seq).toSet
+    assert(koSeqs.nonEmpty, "a looping chain must be popped and die DONE-KO")
+    assert(!o.defects.exists(d => koSeqs.contains(d.defect.responseSeq)),
+      "too-many-redirects must emit NO defect row")
+    val resolved = chained.filterNot(d => WorldGen.chainLoops(spec, d))
+      .map(d => WorldGen.docUrl(spec, d)).toSet
+    assert(o.transactions.values.exists(t => resolved.contains(t.uri) &&
+      t.verificationStatus == VerificationStatus.DoneOk),
+      "a multi-hop chain must resolve to a DONE-OK fetch")
+  }
+
+  test("parity under DEFAULT session confs (auto-broadcast, AQE, codegen on)") {
+    // the suite session disables auto-broadcast/AQE purely for
+    // tiny-world driver latency; this test keeps Spark 4's defaults so
+    // the default plan space (broadcast-hash joins, adaptive exchanges,
+    // whole-stage codegen) stays output-checked, not just the
+    // explicitly-planned SMJ space
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", (10L * 1024 * 1024).toString)
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    val spec = WorldSpec("redirect-canon", nHosts = 2, nDocs = 30,
+      redirectEvery = 3, canonicalEvery = 5)
+    val c = cfg(spec)
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val w = WorldGen.sparkWorld(s2, spec)
+    val wdf = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(),
+      w.hosts.toDF(), w.rules.toDF(), null)
+    val dir = Files.createTempDirectory("crawl-default-confs").toString
+    val run = CrawlDriver.crawl(s2, wdf, c, dir, useBloom = true, bloomMinSeen = 0L)
+    assertParity(oracle, run)
+  }
+
   test("parity holds without the bloom prefilter (exact band alone)") {
     val spec = WorldSpec("dedup-web", nHosts = 3, nDocs = 25, variantEvery = 2)
     val (o, r) = runBoth(spec, cfg(spec), useBloom = false)

@@ -36,6 +36,26 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"distinct doc must not pair: $pairs")
   }
 
+  test("native MinHashSig ≡ the HOF aggregate form, bit-for-bit (eval + codegen)") {
+    // the planted/natural-corpus oracles pin signature-derived outputs,
+    // so the native rewrite must reproduce the exact longs — including
+    // empty shingle arrays (all Long.MaxValue) and single-token texts
+    val docs = (Seq((0L, base), (1L, base + " extra"), (2L, "one"), (3L, ""),
+      (4L, "çà l'été ünïcode 字符 test")) ++
+      (5L until 40L).map(i => (i, s"synthetic doc $i with shared words " * (i % 5 + 1).toInt)))
+      .toDF("doc_id", "text")
+    for (cg <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val both = docs.select(
+        DedupOps.minhashSignature(DedupOps.shingles(col("text"), 3), 20).as("native"),
+        DedupOps.minhashSignatureHof(DedupOps.shingles(col("text"), 3), 20).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"signature mismatch (codegen=$cg)"))
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
   test("simhash: identical docs have distance 0; near-dups within 6; distinct far") {
     val df = Seq((0L, base), (1L, base), (2L, base + " tail"),
       (3L, "unrelated words entirely here about graphs")).toDF("id", "text")
@@ -210,11 +230,25 @@ class OpsSpec extends AnyFunSuite {
       lit("GET").as("method"))
     val bloom = UrlSeen.buildBloom(seen,
       UrlSeen.seenKey(col("uri"), col("method")), 500)
-    val withBloom = UrlSeen.dedupeAgainstSeen(cand, seen, "uri", "method", Some(bloom))
+    val withBloom = UrlSeen.dedupeAgainstSeen(cand, Seq(seen), "uri", "method", Some(bloom))
       .collect().map(_.getString(0)).toSet
-    val exact = UrlSeen.dedupeAgainstSeen(cand, seen, "uri", "method", None)
+    val exact = UrlSeen.dedupeAgainstSeen(cand, Seq(seen), "uri", "method", None)
       .collect().map(_.getString(0)).toSet
     assert(withBloom == exact)
     assert(exact == (500 until 750).map(i => s"http://h/$i").toSet)
+  }
+
+  test("bloom capacity policy boundary (single-bloom broadcast budget)") {
+    // ~19.17 bits/key at fpp 1e-4 (optimal-m): sandbox-scale capacities
+    // are comfortably in budget; the 10^10-scale capacity (~90 GB
+    // bitset) is far past any broadcast budget and must DROP the bloom
+    assert(UrlSeen.bloomWithinBudget(4L * 100000L))
+    assert(UrlSeen.bloomWithinBudget(100000000L)) // 1e8 keys ≈ 229 MB
+    assert(!UrlSeen.bloomWithinBudget(120000000L)) // 1.2e8 keys ≈ 287 MB
+    assert(!UrlSeen.bloomWithinBudget(40000000000L)) // 4e10 ≈ 90 GB
+    // the byte estimate is monotone and ~2.4 B/key at this fpp
+    val b1e8 = UrlSeen.bloomBytes(100000000L)
+    assert(b1e8 > (200L << 20) && b1e8 < (256L << 20))
+    assert(UrlSeen.bloomBytes(1L) < 1024)
   }
 }
