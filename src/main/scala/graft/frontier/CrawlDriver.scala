@@ -14,15 +14,30 @@ import org.apache.spark.util.sketch.BloomFilter
 /** BSP crawl loop: one [[CrawlRound]] per iteration, each committed as a
   * snapshot (SURVEY.md §2.11); resume loads the last complete snapshot.
   * Driver state is O(1) scalars plus one fixed-size bloom — frontier/
-  * seen/outputs never collect.
+  * seen/outputs never collect (the only per-round collect is the tiny
+  * per-partition lineage table, O(metrics × partitions) rows).
   *
-  * Per-round fixed cost is kept to TWO Spark jobs (the merged delta
-  * write + the tiny lineage read-back): cross-round state re-points at
-  * the just-committed parquet (deterministic, lineage-free plans), the
-  * cumulative URL-seen table is a union of per-round cached deltas
-  * (never re-read from disk), and the seen-bloom is merged
-  * incrementally from each round's accepted delta instead of being
-  * rebuilt from a full seen scan.
+  * Per-round critical path is ONE forcing job (collect the lineage
+  * aggregation, which materializes the round's checkpoint/caches and
+  * yields every counter the driver needs) plus one small probe job
+  * that pins the next round's state deltas; the durable delta write +
+  * manifest commit run on an ordered background thread and OVERLAP the
+  * next round's plan construction and forcing jobs (pipelined BSP —
+  * the write's wall time leaves the round critical path entirely, at
+  * the cost of holding two rounds' caches instead of one). Cross-round
+  * state re-points at lazily local-checkpointed in-memory deltas
+  * (plan-truncated leaves that keep their hash partitioning, so the
+  * D1/D4 chains stay Exchange-free); nothing reads a round's parquet
+  * while its write is in flight, and a write failure fails every
+  * subsequent commit (futures are chained), so the manifest sequence
+  * never has holes. Cluster runs keep the synchronous write+commit:
+  * durable recovery there must not depend on executor-local blocks,
+  * and the reliable per-delta checkpoint that pipelining would need is
+  * itself a blocking distributed write (a cluster overlaps rounds at
+  * the storage layer instead). The cumulative URL-seen table is a
+  * union of per-round deltas (never re-read from disk), and the
+  * seen-bloom is merged incrementally from each round's accepted delta
+  * instead of being rebuilt from a full seen scan.
   */
 object CrawlDriver {
 
@@ -93,16 +108,29 @@ object CrawlDriver {
     }
   }
 
+  /** Deferred bootstrap handle (local pipelined path): the accepted
+    * frontier/seen state as in-memory DataFrames plus the counters —
+    * the durable round −1 write+commit rides the write thread and
+    * overlaps world prep and round 0. `release` caches are dropped once
+    * that write has finished and round 0 has consumed the state.
+    */
+  private case class Boot(frontier: DataFrame, accepted: DataFrame,
+      counters: (Long, Long), delta: DataFrame, release: Seq[DataFrame])
+
   /** Distributed seed bootstrap for wide frontiers (the 10^10-URL
     * shape): same semantics as the serial path — every seed consumes a
     * seq in input order, first occurrence of a canon wins, queue
     * positions are dense over accepted seeds, urlLimit caps the
     * accepted count — but computed as Dataset transformations so a
-    * billion-URL seed list never loops on the driver.
+    * billion-URL seed list never loops on the driver. In local mode the
+    * write is DEFERRED (returns a [[Boot]]): the forcing count provides
+    * the accepted total, and the caller overlaps the durable write with
+    * world prep + round 0. On a cluster the write+commit stay
+    * synchronous (returns None) — same rule as the round loop.
     */
   private def bootstrapDistributed(spark: SparkSession, cfg: CrawlConfig,
       store: SnapshotStore, seedSource: Option[DataFrame],
-      seedCountHint: Option[Long]): Unit = {
+      seedCountHint: Option[Long]): Option[Boot] = {
     import graft.plans.Ranks
     import graft.url.UrlExpressions._
     import spark.implicits._
@@ -149,27 +177,39 @@ object CrawlDriver {
     val accepted = limited.select(col("i").as("seq"), lit("GET").as("method"),
       col("canon"), col("decoded"), lit(0).as("depth"),
       lit(null).cast("string").as("expected"))
-    val tW = System.nanoTime()
-    // the accepted-seed count rides the write job itself (CollectMetrics
-    // observation) — the former read-back count was one more serial job
-    // on the bootstrap critical path
-    val obs = org.apache.spark.sql.Observation("bootstrap")
-    store.writeDelta(-1, asDelta("frontier", -1, frontier)
+    val delta = asDelta("frontier", -1, frontier)
       .unionByName(asDelta("accepted", -1, accepted))
       .unionByName(asDelta("host_state", -1,
         spark.emptyDataset[HostState].toDF()))
       .coalesce(parts)
-      .observe(obs, sum(when(col("kind") === "frontier", 1L)).as("n")))
-    val n = Option(obs.get.getOrElse("n", null))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
-    first.unpersist(blocking = false)
-    if (sys.env.contains("SPARK_GRAFT_TRACE"))
-      println(f"[bootstrap] write=${(System.nanoTime() - tW) / 1e9}%.1fs n=$n")
     // nextSeq advances by the true max assigned seq + 1 = nSeeds only
     // when nSeeds is exact; with a hint it must still be ≥ every
     // consumed seq, which i < nSeeds guarantees for ascending i
-    store.commit(-1, store.Counters(-1, nSeeds, n, 0L, n, n),
-      Seq(("seeds", 0, n)))
+    if (spark.sparkContext.isLocal) {
+      // pipelined path: the forcing count replaces the write-job
+      // observation (it fills the first/limited caches the deferred
+      // write and round 0 both read), and the caller dispatches the
+      // durable write behind world prep + round 0
+      val limC = limited.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = limC.count()
+      Some(Boot(frontier, accepted, (nSeeds, n), delta, Seq(first, limC)))
+    } else {
+      val tW = System.nanoTime()
+      // the accepted-seed count rides the write job itself (CollectMetrics
+      // observation) — a separate count would be one more serial job on
+      // the bootstrap critical path
+      val obs = org.apache.spark.sql.Observation("bootstrap")
+      store.writeDelta(-1,
+        delta.observe(obs, sum(when(col("kind") === "frontier", 1L)).as("n")))
+      val n = Option(obs.get.getOrElse("n", null))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      first.unpersist(blocking = false)
+      if (sys.env.contains("SPARK_GRAFT_TRACE"))
+        println(f"[bootstrap] write=${(System.nanoTime() - tW) / 1e9}%.1fs n=$n")
+      store.commit(-1, store.Counters(-1, nSeeds, n, 0L, n, n),
+        Seq(("seeds", 0, n)))
+      None
+    }
   }
 
   /** Seed bootstrap = round "-1": replicates push(createTransaction(seed))
@@ -256,15 +296,49 @@ object CrawlDriver {
       spark.sparkContext.setCheckpointDir(s"$checkpointDir/_rdd_checkpoints")
     val trace0 = sys.env.contains("SPARK_GRAFT_TRACE")
     val tB = System.nanoTime()
-    if (store.latestCommitted().isEmpty) {
-      // entry points with request data stay on the serial path (they
-      // are config-enumerated, never billions)
-      val hasData = cfg.seedEntries.exists(_.data.nonEmpty)
-      if (!hasData && (seedSource.isDefined || cfg.seeds.size >= distBootstrapMin))
-        bootstrapDistributed(spark, cfg, store, seedSource, seedCountHint)
-      else bootstrap(spark, cfg, store)
-    }
-    if (trace0) println(f"[crawl] bootstrap=${(System.nanoTime() - tB) / 1e9}%.1fs")
+
+    // ---- pipelined write-behind (local mode): writes + commits run in
+    // submission order on one background thread; each write future is
+    // CHAINED on its predecessor, so a failed write fails every later
+    // commit and the manifest sequence never has holes. At most one
+    // write is in flight (awaited at the end of the next iteration),
+    // which also bounds the cache double-buffer to two rounds.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pipelined = spark.sparkContext.isLocal
+    val writeEc = ExecutionContext.fromExecutorService(
+      java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+        val t = new Thread(r, "graft-delta-write"); t.setDaemon(true); t
+      }))
+    var pendingWrite: Future[Unit] = Future.successful(())
+    // caches released once the write that reads them has finished: the
+    // round's own persisted intermediates plus the PREVIOUS round's
+    // frontier/host leaves (consumed by this round's forcing jobs)
+    var releaseAfterPending: Seq[DataFrame] = Nil
+
+    val boot: Option[Boot] =
+      if (store.latestCommitted().isEmpty) {
+        // entry points with request data stay on the serial path (they
+        // are config-enumerated, never billions)
+        val hasData = cfg.seedEntries.exists(_.data.nonEmpty)
+        if (!hasData && (seedSource.isDefined || cfg.seeds.size >= distBootstrapMin)) {
+          val b = bootstrapDistributed(spark, cfg, store, seedSource, seedCountHint)
+          // deferred path: the round −1 write+commit overlap world prep
+          // and round 0; the loop's write chain is seeded with it
+          b.foreach { bt =>
+            val (nSeeds, n) = bt.counters
+            val cnt = store.Counters(-1, nSeeds, n, 0L, n, n)
+            pendingWrite = Future {
+              store.writeDelta(-1, bt.delta)
+              store.commit(-1, cnt, Seq(("seeds", 0, n)))
+            }(writeEc)
+            releaseAfterPending = bt.release
+          }
+          b
+        } else { bootstrap(spark, cfg, store); None }
+      } else None
+    if (trace0) println(f"[crawl] bootstrap=${(System.nanoTime() - tB) / 1e9}%.1fs" +
+      (if (boot.isDefined) " (write deferred)" else ""))
     // round-invariant world prep (redirect-resolved fetch map, robots
     // aggregation), cached once and shared by every round
     val prepped0 = CrawlRound.prepare(world0, cfg)
@@ -288,8 +362,13 @@ object CrawlDriver {
         if (prepped0.sitemapsAgg == null) null
         else prepped0.sitemapsAgg.persist(MEMORY_AND_DISK))
 
-    var last = store.latestCommitted().get
-    var c = store.readCounters(last)
+    var last = if (boot.isDefined) -1 else store.latestCommitted().get
+    var c = boot match {
+      case Some(bt) =>
+        val (nSeeds, n) = bt.counters
+        store.Counters(-1, nSeeds, n, 0L, n, n)
+      case None => store.readCounters(last)
+    }
     val trace = trace0
     if (trace) println(f"[crawl] prep=${(System.nanoTime() - tB) / 1e9}%.1fs (cumulative)")
 
@@ -316,23 +395,38 @@ object CrawlDriver {
     // the fetch-join key so the join reuses this exchange
     def frontierSel(df: DataFrame): DataFrame =
       df.select(frontierCols.map(col): _*).repartition(parts, col("uri"))
-    val seenParts = scala.collection.mutable.ArrayBuffer[DataFrame](
-      seenSel(store.kindUnion(last, "accepted").get).persist(MEMORY_AND_DISK))
+    // with a deferred bootstrap the round −1 parquet is still being
+    // written — state initializes from the in-memory bootstrap frames
+    // (bootstrap writes no dup/maps/host rows by construction)
+    val seenParts = scala.collection.mutable.ArrayBuffer[DataFrame](boot match {
+      case Some(bt) => seenSel(bt.accepted).persist(MEMORY_AND_DISK)
+      case None =>
+        seenSel(store.kindUnion(last, "accepted").get).persist(MEMORY_AND_DISK)
+    })
+    val emptyDup = spark.emptyDataFrame
+      .select(lit(0L).as("size"), lit(0L).as("bhash"), lit(0L).as("bhash2"),
+        lit(0L).as("pop"), lit("").as("uri")).limit(0)
     val dupParts = scala.collection.mutable.ArrayBuffer[DataFrame](
-      store.kindUnion(last, "dup_state").map(dupSel)
-        .getOrElse(spark.emptyDataFrame
-          .select(lit(0L).as("size"), lit(0L).as("bhash"), lit(0L).as("bhash2"),
-            lit(0L).as("pop"), lit("").as("uri")).limit(0)).persist(MEMORY_AND_DISK))
+      (if (boot.isDefined) None else store.kindUnion(last, "dup_state").map(dupSel))
+        .getOrElse(emptyDup).persist(MEMORY_AND_DISK))
     val mapParts = scala.collection.mutable.ArrayBuffer[DataFrame](
-      store.kindUnion(last, "known_maps").map(_.select(col("uri")))
+      (if (boot.isDefined) None
+       else store.kindUnion(last, "known_maps").map(_.select(col("uri"))))
         .getOrElse(spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
         .persist(MEMORY_AND_DISK))
     // the flat union remains ONLY for the bloom (re)build, a full-scan
     // aggregation with no partitioning requirement
     def seenCum: DataFrame = seenParts.reduce(_ unionByName _)
     def mapsCum: DataFrame = mapParts.reduce(_ unionByName _)
-    var frontier = frontierSel(store.kindOf(last, "frontier"))
-    var hostState = store.kindOf(last, "host_state").select("host", "lastVisitS")
+    var frontier = boot match {
+      case Some(bt) => frontierSel(bt.frontier)
+      case None => frontierSel(store.kindOf(last, "frontier"))
+    }
+    var hostState = boot match {
+      case Some(_) => spark.emptyDataFrame
+        .select(lit("").as("host"), lit(0.0).as("lastVisitS")).limit(0)
+      case None => store.kindOf(last, "host_state").select("host", "lastVisitS")
+    }
 
     // ---- incremental seen-bloom (fixed capacity so per-round delta
     // blooms merge bit-for-bit; oversize seen just raises the FP rate,
@@ -343,8 +437,6 @@ object CrawlDriver {
     // critical path; run() forces the future only where the dedup
     // stage needs the bytes (correct by construction — the merge always
     // covers every delta up to the previous round before it is used).
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     val bloomEc = ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newSingleThreadExecutor(r => {
         val t = new Thread(r, "graft-bloom-merge"); t.setDaemon(true); t
@@ -360,6 +452,17 @@ object CrawlDriver {
         Future(fullBloom(src, cap))(bloomEc)
       } else Future.successful(None)
 
+    val lineageMetricNames =
+      Seq("frontierIn", "fetched", "discovered", "deduped", "frontierOut",
+        "volumeBytes")
+    val lineageSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("metric",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("partition",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("count",
+        org.apache.spark.sql.types.LongType)))
+
     while (c.frontierCount > 0 && (cfg.maxRounds <= 0 || c.round + 1 < cfg.maxRounds)) {
       val round = c.round + 1
       val tR = System.nanoTime()
@@ -369,41 +472,15 @@ object CrawlDriver {
           c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount,
           () => Await.result(bloomFut, Duration.Inf).map(bloomToBytes)))
 
-      // ---- job 1: the merged delta write ------------------------------
-      val delta = Seq(
-        asDelta("frontier", round, out.frontierOut),
-        asDelta("accepted", round, out.accepted),
-        asDelta("transactions", round, out.txDelta),
-        asDelta("links", round, out.links),
-        asDelta("defects", round, out.defects),
-        asDelta("host_state", round, out.hostStateOut),
-        asDelta("dup_state", round, out.dupStateDelta),
-        asDelta("known_maps", round, out.knownMapsDelta),
-        asDelta("headers", round, out.headers),
-        asDelta("cookies", round, out.cookies),
-        asDelta("lineage", round, out.lineage)
-      ).reduce(_ unionByName _).coalesce(parts)
-      val tW = System.nanoTime()
-      // the O(1) counters ride the write job itself as observed metrics
-      // (CollectMetrics): per-partition lineage rows are durable INSIDE
-      // the delta (kind=lineage), and the former read-back job — one
-      // extra scan + collect per round, pure core-count-independent
-      // critical path — is gone. The manifest records the totals.
-      val lineageMetricNames =
-        Seq("frontierIn", "fetched", "discovered", "deduped", "frontierOut",
-          "volumeBytes")
-      val obs = org.apache.spark.sql.Observation(s"lineage-$round")
-      val metricCols = lineageMetricNames.map(mn =>
-        sum(when(col("kind") === "lineage" && col("s0") === mn, col("l0")))
-          .as(mn))
-      store.writeDelta(round,
-        delta.observe(obs, metricCols.head, metricCols.tail: _*))
-      val tL = System.nanoTime()
-      val observed = obs.get
+      // ---- forcing job: ONE action (collect of the tiny per-partition
+      // lineage table) materializes the round's whole compute — the f5c
+      // checkpoint, kids2/accepted/frontierOut caches and their offset
+      // broadcasts — and returns every counter the driver needs, so the
+      // durable write below can leave the critical path
+      val linRows = out.lineage.collect()
       def metric(name: String): Long =
-        Option(observed.getOrElse(name, null)).map(_.asInstanceOf[Long]).getOrElse(0L)
-      val lineageRows: Seq[(String, Int, Long)] =
-        lineageMetricNames.map(mn => (mn, 0, metric(mn)))
+        linRows.iterator.filter(_.getString(0) == name).map(_.getLong(2)).sum
+      val tF = System.nanoTime()
       // every scheme-passing link consumed a seq (dups and over-limit
       // drops included) — the "discovered" lineage metric counts exactly
       // those (kids2), so it advances the idno counter
@@ -411,29 +488,119 @@ object CrawlDriver {
       val frontierCount = metric("frontierOut")
       val acceptedCount = metric("deduped")
       val popped = metric("frontierIn")
-
       c = store.Counters(round,
         nextSeq = c.nextSeq + discovered,
         nextPos = c.nextPos + frontierCount,
         popBase = c.popBase + popped,
         seenCount = c.seenCount + acceptedCount,
         frontierCount = frontierCount)
+      val lineageRows: Seq[(String, Int, Long)] =
+        lineageMetricNames.map(mn => (mn, 0, metric(mn)))
       val doCompact = compactEvery > 0 && round > 0 &&
         round % compactEvery == 0 && seenParts.size > 1
-      store.commit(round, c, lineageRows ++
-        (if (doCompact) Seq(("compacted", 0, c.seenCount)) else Nil))
 
-      // ---- re-point state at the committed parquet --------------------
-      frontier = frontierSel(store.kindOf(round, "frontier"))
-      hostState = store.kindOf(round, "host_state").select("host", "lastVisitS")
-      val seenDelta = seenSel(store.kindOf(round, "accepted")).persist(MEMORY_AND_DISK)
-      seenParts += seenDelta
-      dupParts += dupSel(store.kindOf(round, "dup_state")).persist(MEMORY_AND_DISK)
-      mapParts += store.kindOf(round, "known_maps").select(col("uri"))
-        .persist(MEMORY_AND_DISK)
+      // ---- next-round state: in-memory lazily-checkpointed deltas
+      // (local) or the committed parquet (cluster, write awaited first).
+      // localCheckpoint(eager=false) truncates each delta's logical plan
+      // to a LogicalRDD leaf AT CONSTRUCTION (keeping the repartition/
+      // sort layout), so per-round plans never re-grow O(rounds); the
+      // probe job materializes the leaves' blocks NOW, while the
+      // previous round's caches they compute from are still alive.
+      // capStats on every leaf: localCheckpoint copies the truncated
+      // plan's statistics into the LogicalRDD, and in an iterative loop
+      // whose round k+1 joins build on round k's leaves, sizeInBytes
+      // compounds multiplicatively (bits × joins-per-round each round)
+      // until Catalyst's stats visitor OOMs the driver on many-round
+      // worlds (seen: polite-slow, ~round 12). The cap bounds each
+      // leaf's stats at Long.MaxValue while keeping small deltas' real
+      // sizes.
+      import org.apache.spark.sql.graft.shim.capStats
+      val (seenDelta, frontierNext, hostNext) =
+        if (pipelined) {
+          val sd = capStats(seenSel(out.accepted).localCheckpoint(eager = false))
+          val dd = capStats(dupSel(out.dupStateDelta).localCheckpoint(eager = false))
+          val md = capStats(out.knownMapsDelta.select(col("uri"))
+            .localCheckpoint(eager = false))
+          val hs = capStats(out.hostStateOut.select("host", "lastVisitS")
+            .localCheckpoint(eager = false))
+          // the frontier MUST be a checkpoint leaf too (not a mere
+          // persist): a persisted plan keeps its full lineage, and the
+          // frontier is the one state chain threaded through EVERY
+          // round's plan — un-truncated it grows the analyzed tree
+          // exponentially with rounds (each round references the
+          // frontier in several branches, and analysis copies shared
+          // subtrees per occurrence) until Catalyst planning itself
+          // OOMs on many-round worlds. The checkpoint keeps
+          // frontierSel's hash-partitioning on `uri` (LogicalRDD
+          // captures the physical plan's partitioning), so the J6
+          // fetch join stays Exchange-free.
+          val fn = capStats(frontierSel(out.frontierOut).localCheckpoint(eager = false))
+          Seq(sd, dd, md, hs, fn).map(_.select(lit(1L).as("one")))
+            .reduce(_ union _).count() // probe: one job pins all five
+          seenParts += sd
+          dupParts += dd
+          mapParts += md
+          (sd, fn, hs)
+        } else {
+          Await.result(pendingWrite, Duration.Inf)
+          val sd = seenSel(store.kindOf(round, "accepted")).persist(MEMORY_AND_DISK)
+          seenParts += sd
+          dupParts += dupSel(store.kindOf(round, "dup_state")).persist(MEMORY_AND_DISK)
+          mapParts += store.kindOf(round, "known_maps").select(col("uri"))
+            .persist(MEMORY_AND_DISK)
+          (sd, frontierSel(store.kindOf(round, "frontier")),
+            store.kindOf(round, "host_state").select("host", "lastVisitS"))
+        }
+
+      // ---- the merged delta write + ordered commit. The dup/maps/host
+      // kinds write from the pinned leaves and the lineage kind from the
+      // collected literal rows, so the background write depends ONLY on
+      // this round's caches and leaves — never on a previous round's.
+      val lineageLit = spark.createDataFrame(
+        java.util.Arrays.asList(linRows: _*), lineageSchema)
+      val delta = Seq(
+        asDelta("frontier", round, out.frontierOut),
+        asDelta("accepted", round, out.accepted),
+        asDelta("transactions", round, out.txDelta),
+        asDelta("links", round, out.links),
+        asDelta("defects", round, out.defects),
+        asDelta("host_state", round, if (pipelined) hostNext else out.hostStateOut),
+        asDelta("dup_state", round,
+          if (pipelined) dupParts.last else out.dupStateDelta),
+        asDelta("known_maps", round,
+          if (pipelined) mapParts.last else out.knownMapsDelta),
+        asDelta("headers", round, out.headers),
+        asDelta("cookies", round, out.cookies),
+        asDelta("lineage", round, if (pipelined) lineageLit else out.lineage)
+      ).reduce(_ unionByName _).coalesce(parts)
+      val cNow = c
+      val commitLineage = lineageRows ++
+        (if (doCompact) Seq(("compacted", 0, cNow.seenCount)) else Nil)
+      val prevWrite = pendingWrite
+      val thisWrite =
+        if (pipelined) prevWrite.map { _ =>
+          store.writeDelta(round, delta)
+          store.commit(round, cNow, commitLineage)
+        }(writeEc)
+        else {
+          store.writeDelta(round, delta)
+          store.commit(round, cNow, commitLineage)
+          Future.successful(())
+        }
+      val tW = System.nanoTime()
+
+      // ---- re-point the loop state ------------------------------------
+      frontier = frontierNext
+      hostState = hostNext
 
       // ---- every K rounds: compact cumulative parts to one table ------
       if (doCompact) {
+        // sync point: compaction UNPERSISTS the per-round delta leaves,
+        // and the in-flight writes still read this round's dup/maps
+        // leaves (the substituted delta kinds) — drain the pipeline
+        // first. Once per compactEvery rounds, alongside compaction's
+        // own full-union barrier.
+        Await.result(thisWrite, Duration.Inf)
         def compact(parts: scala.collection.mutable.ArrayBuffer[DataFrame],
             rekey: DataFrame => DataFrame): Unit = {
           // materialize the union into one checkpointed leaf (cached
@@ -448,9 +615,9 @@ object CrawlDriver {
           // lineage would make the cumulative state unrecoverable, so
           // use the reliable checkpoint there (same rule as f5c).
           val u = rekey(parts.reduce(_ unionByName _))
-          val merged =
+          val merged = org.apache.spark.sql.graft.shim.capStats(
             if (spark.sparkContext.isLocal) u.localCheckpoint()
-            else u.checkpoint()
+            else u.checkpoint())
           parts.foreach(_.unpersist(blocking = false))
           parts.clear()
           parts += merged
@@ -462,11 +629,11 @@ object CrawlDriver {
         compact(mapParts, identity)
         // Counter/lineage invariant (cheap: one count over the blocks
         // the checkpoint just materialized, once per compactEvery
-        // rounds): the Observation-derived `seenCount` — an accumulator
-        // value, a weaker guarantee than committed data — must equal the
-        // durably committed accepted-row count, because every subsequent
-        // seq/pos assignment builds on it. Drift here means lost/dup
-        // delta rows and must stop the crawl, not shift it silently.
+        // rounds): the forcing-job-derived `seenCount` must equal the
+        // accepted-row count the compacted state actually holds, because
+        // every subsequent seq/pos assignment builds on it. Drift here
+        // means lost/dup delta rows and must stop the crawl, not shift
+        // it silently.
         val committedSeen = seenParts.head.count()
         require(committedSeen == c.seenCount,
           s"seen-count drift at compaction round $round: committed " +
@@ -513,13 +680,28 @@ object CrawlDriver {
         case None => ()
       }
 
-      out.cached.foreach(_.unpersist(blocking = false))
+      // ---- release: await the PREVIOUS round's write (it re-read the
+      // caches scheduled below; its failure surfaces here, one round
+      // late at most), then drop them. This round's caches — read by the
+      // still-in-flight write — wait one more iteration. (Checkpoint
+      // leaves — frontier/host/seen/dup/map deltas — are not in the
+      // CacheManager; their blocks are freed by the ContextCleaner once
+      // the loop stops referencing them, so they need no entry here.)
+      Await.result(prevWrite, Duration.Inf)
+      releaseAfterPending.foreach(_.unpersist(blocking = false))
+      releaseAfterPending = out.cached
+      pendingWrite = thisWrite
       if (trace)
         println(f"[round $round] frontierIn=$popped fetched=${metric("fetched")} " +
-          f"plan=${(tW - tR) / 1e9}%.1fs write=${(tL - tW) / 1e9}%.1fs " +
-          f"rest=${(System.nanoTime() - tL) / 1e9}%.1fs")
+          f"plan=${(tF - tR) / 1e9}%.1fs probe=${(tW - tF) / 1e9}%.1fs " +
+          f"rest=${(System.nanoTime() - tW) / 1e9}%.1fs")
       last = round
     }
+    // drain the pipeline: the final round's write must be durable before
+    // CrawlRun reads the committed parquet
+    Await.result(pendingWrite, Duration.Inf)
+    releaseAfterPending.foreach(_.unpersist(blocking = false))
+    writeEc.shutdown()
     CrawlRun(store, last, spark)
   }
 }

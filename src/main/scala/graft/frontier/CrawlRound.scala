@@ -388,9 +388,13 @@ object CrawlRound {
     // recomputes the pipeline a second time to write the checkpoint
     // files, and recovery must not depend on executor-local blocks.
     val tF0 = System.nanoTime()
-    val f5c =
+    // capStats: bound the leaf's inherited statistics — in the pipelined
+    // driver f5's inputs are the previous round's checkpoint leaves, and
+    // un-capped stats compound multiplicatively across rounds (driver
+    // OOM in Catalyst's stats visitor on many-round worlds).
+    val f5c = org.apache.spark.sql.graft.shim.capStats(
       if (spark.sparkContext.isLocal) f5.localCheckpoint(eager = false)
-      else f5.checkpoint()
+      else f5.checkpoint())
     if (sys.env.contains("SPARK_GRAFT_TRACE"))
       println(f"[round ${in.round}] f5cJob=${(System.nanoTime() - tF0) / 1e9}%.1fs")
     val processed = f5c.filter(!col("defer"))
