@@ -46,6 +46,10 @@ object SparkEntry {
       // covered by the parity suite and the scaling bench.
       s.conf.set("spark.sql.codegen.wholeStage", "false")
       s.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      // a ~40-round 40-doc crawl is all fixed latency: the pipelined
+      // write-behind's extra leaf-pinning probe job per round costs more
+      // than the overlapped write saves — opt this session out
+      s.conf.set("spark.graft.pipelinedWrite", "false")
       val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
         politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
         canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4,

@@ -44,6 +44,10 @@ object CrawlDriver {
   private val frontierCols = Seq("seq", "pos", "uri", "origUri", "depth",
     "srcSeq", "method", "expected", "referer", "dataQ")
 
+  /** Session opt-out for the local pipelined write-behind (default on). */
+  private def pipelineConf(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.pipelinedWrite", "true").toBoolean
+
   case class CrawlRun(store: SnapshotStore, lastRound: Int, spark: SparkSession) {
     private def unionKind(name: String): DataFrame =
       store.kindUnion(lastRound, name).get
@@ -185,7 +189,7 @@ object CrawlDriver {
     // nextSeq advances by the true max assigned seq + 1 = nSeeds only
     // when nSeeds is exact; with a hint it must still be ≥ every
     // consumed seq, which i < nSeeds guarantees for ascending i
-    if (spark.sparkContext.isLocal) {
+    if (spark.sparkContext.isLocal && pipelineConf(spark)) {
       // pipelined path: the forcing count replaces the write-job
       // observation (it fills the first/limited caches the deferred
       // write and round 0 both read), and the caller dispatches the
@@ -305,7 +309,11 @@ object CrawlDriver {
     // which also bounds the cache double-buffer to two rounds.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
-    val pipelined = spark.sparkContext.isLocal
+    // spark.graft.pipelinedWrite=false opts a session out (kept on by
+    // default): pipelining targets fat rounds — a tiny many-round world
+    // pays the extra leaf-pinning probe job per round for an overlap
+    // worth less than the job's own driver latency
+    val pipelined = spark.sparkContext.isLocal && pipelineConf(spark)
     val writeEc = ExecutionContext.fromExecutorService(
       java.util.concurrent.Executors.newSingleThreadExecutor(r => {
         val t = new Thread(r, "graft-delta-write"); t.setDaemon(true); t
@@ -515,7 +523,33 @@ object CrawlDriver {
       // leaf's stats at Long.MaxValue while keeping small deltas' real
       // sizes.
       import org.apache.spark.sql.graft.shim.capStats
-      val (seenDelta, frontierNext, hostNext) =
+      val lineageLit = spark.createDataFrame(
+        java.util.Arrays.asList(linRows: _*), lineageSchema)
+      val cNow = c
+      val commitLineage = lineageRows ++
+        (if (doCompact) Seq(("compacted", 0, cNow.seenCount)) else Nil)
+      val prevWrite = pendingWrite
+      // ---- the merged delta. Pipelined: dup/maps/host kinds write from
+      // the pinned leaves and the lineage kind from the collected literal
+      // rows, so the background write depends ONLY on this round's caches
+      // and leaves — never on a previous round's. Synchronous: everything
+      // writes from the round outputs (per-partition lineage included),
+      // and the write+commit run BEFORE the re-point reads the parquet.
+      def buildDelta(hostK: DataFrame, dupK: DataFrame, mapsK: DataFrame,
+          linK: DataFrame): DataFrame = Seq(
+        asDelta("frontier", round, out.frontierOut),
+        asDelta("accepted", round, out.accepted),
+        asDelta("transactions", round, out.txDelta),
+        asDelta("links", round, out.links),
+        asDelta("defects", round, out.defects),
+        asDelta("host_state", round, hostK),
+        asDelta("dup_state", round, dupK),
+        asDelta("known_maps", round, mapsK),
+        asDelta("headers", round, out.headers),
+        asDelta("cookies", round, out.cookies),
+        asDelta("lineage", round, linK)
+      ).reduce(_ unionByName _).coalesce(parts)
+      val (seenDelta, frontierNext, hostNext, thisWrite) =
         if (pipelined) {
           val sd = capStats(seenSel(out.accepted).localCheckpoint(eager = false))
           val dd = capStats(dupSel(out.dupStateDelta).localCheckpoint(eager = false))
@@ -540,52 +574,27 @@ object CrawlDriver {
           seenParts += sd
           dupParts += dd
           mapParts += md
-          (sd, fn, hs)
+          val delta = buildDelta(hs, dd, md, lineageLit)
+          val w = prevWrite.map { _ =>
+            store.writeDelta(round, delta)
+            store.commit(round, cNow, commitLineage)
+          }(writeEc)
+          (sd, fn, hs, w)
         } else {
+          // synchronous path (cluster, or session opt-out): durable
+          // write+commit first, then re-point at the committed parquet
           Await.result(pendingWrite, Duration.Inf)
+          store.writeDelta(round, buildDelta(out.hostStateOut,
+            out.dupStateDelta, out.knownMapsDelta, out.lineage))
+          store.commit(round, cNow, commitLineage)
           val sd = seenSel(store.kindOf(round, "accepted")).persist(MEMORY_AND_DISK)
           seenParts += sd
           dupParts += dupSel(store.kindOf(round, "dup_state")).persist(MEMORY_AND_DISK)
           mapParts += store.kindOf(round, "known_maps").select(col("uri"))
             .persist(MEMORY_AND_DISK)
           (sd, frontierSel(store.kindOf(round, "frontier")),
-            store.kindOf(round, "host_state").select("host", "lastVisitS"))
-        }
-
-      // ---- the merged delta write + ordered commit. The dup/maps/host
-      // kinds write from the pinned leaves and the lineage kind from the
-      // collected literal rows, so the background write depends ONLY on
-      // this round's caches and leaves — never on a previous round's.
-      val lineageLit = spark.createDataFrame(
-        java.util.Arrays.asList(linRows: _*), lineageSchema)
-      val delta = Seq(
-        asDelta("frontier", round, out.frontierOut),
-        asDelta("accepted", round, out.accepted),
-        asDelta("transactions", round, out.txDelta),
-        asDelta("links", round, out.links),
-        asDelta("defects", round, out.defects),
-        asDelta("host_state", round, if (pipelined) hostNext else out.hostStateOut),
-        asDelta("dup_state", round,
-          if (pipelined) dupParts.last else out.dupStateDelta),
-        asDelta("known_maps", round,
-          if (pipelined) mapParts.last else out.knownMapsDelta),
-        asDelta("headers", round, out.headers),
-        asDelta("cookies", round, out.cookies),
-        asDelta("lineage", round, if (pipelined) lineageLit else out.lineage)
-      ).reduce(_ unionByName _).coalesce(parts)
-      val cNow = c
-      val commitLineage = lineageRows ++
-        (if (doCompact) Seq(("compacted", 0, cNow.seenCount)) else Nil)
-      val prevWrite = pendingWrite
-      val thisWrite =
-        if (pipelined) prevWrite.map { _ =>
-          store.writeDelta(round, delta)
-          store.commit(round, cNow, commitLineage)
-        }(writeEc)
-        else {
-          store.writeDelta(round, delta)
-          store.commit(round, cNow, commitLineage)
-          Future.successful(())
+            store.kindOf(round, "host_state").select("host", "lastVisitS"),
+            Future.successful(()))
         }
       val tW = System.nanoTime()
 

@@ -389,6 +389,27 @@ class EngineParitySpec extends AnyFunSuite {
     assertParity(oracle, run)
   }
 
+  test("parity with the pipelined write-behind OPTED OUT (synchronous path)") {
+    // spark.graft.pipelinedWrite=false routes every round through the
+    // synchronous write+commit+re-read path (the cluster path, also used
+    // by latency-dominated tiny-world sessions) — a many-round world with
+    // politeness keeps that branch output-checked, not just compiling
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.shuffle.partitions", "4")
+    s2.conf.set("spark.graft.pipelinedWrite", "false")
+    val spec = WorldSpec("polite-slow", nHosts = 3, nDocs = 24,
+      politeEvery = 2)
+    val c = cfg(spec)
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val w = WorldGen.sparkWorld(s2, spec)
+    val wdf = CrawlRound.WorldDF(w.docs.toDF(), w.urlMap.toDF(),
+      w.hosts.toDF(), w.rules.toDF(), null)
+    val dir = Files.createTempDirectory("crawl-sync-path").toString
+    val run = CrawlDriver.crawl(s2, wdf, c, dir, useBloom = true, bloomMinSeen = 0L)
+    assertParity(oracle, run)
+  }
+
   test("parity holds without the bloom prefilter (exact band alone)") {
     val spec = WorldSpec("dedup-web", nHosts = 3, nDocs = 25, variantEvery = 2)
     val (o, r) = runBoth(spec, cfg(spec), useBloom = false)
