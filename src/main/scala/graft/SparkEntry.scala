@@ -102,6 +102,37 @@ object SparkEntry {
       }
     }
 
+  // ---- shared persisted IVF index (the second ANN scale path) ----
+  // Same corpus and planted set as the LSH index; clusters trained by
+  // bounded deterministic sampled k-means, corpus partitioned into
+  // k=16 inverted lists, probes scan only the nprobe nearest lists.
+  @volatile private var ivfCache: Option[(String, DataFrame, Array[Double], Seq[Float])] = None
+  private def ivfIndexFor(s: SparkSession, dir: String): (DataFrame, Array[Double], Seq[Float]) =
+    synchronized {
+      ivfCache match {
+        case Some((d, idx, cents, q)) if d == dir => (idx, cents, q)
+        case _ =>
+          val e = t(s, dir, "embeddings")
+          val q = e.filter(col("vec_id") === 0).select(col("embedding"))
+            .head().getSeq[Float](0)
+          val copies = s.range(10).select((col("id") + 2000000L).as("vec_id"),
+            typedLit(q).as("embedding"))
+          val corpus = e.filter(col("vec_id") =!= 0)
+            .select(col("vec_id"), col("embedding")).unionByName(copies)
+          val cents = graft.ops.SimilarityOps.trainCentroids(
+            corpus, "embedding", "vec_id", k = 16)
+          val idx = graft.ops.SimilarityOps.buildIvfIndex(
+            corpus, "embedding", "vec_id", cents)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          idx.count() // materialize: the one-time build cost
+          ivfCache = Some((dir, idx, cents, q))
+          (idx, cents, q)
+      }
+    }
+
+  // unique-per-session memory-sink names for the streaming queries
+  private val streamSinkSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ================= aggregations (SURVEY §2.7) ====================
     "q1_agg" -> ((s, dir) =>
@@ -424,6 +455,29 @@ object SparkEntry {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // IVF build: every corpus vector (N-1 natural + 10 planted) is
+    // assigned to exactly one inverted list — total rows and distinct
+    // ids both equal the corpus size (a real cover check; per-list
+    // sizes depend on the trained centroids so they are not oracled)
+    "ann_ivf_index_build" -> ((s, dir) => {
+      val (idx, _, _) = ivfIndexFor(s, dir)
+      idx.agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("vec_id")).as("n_ids"))
+    }),
+
+    // IVF probe against the PERSISTED index: the 10 planted exact
+    // copies of the query sit in the probe's first-ranked list by
+    // construction (assignment argmax ≡ probe ranking head, identical
+    // double loop), and cos 1.0 beats every natural vector — so the
+    // top-10 id set is the deterministic planted set even at nprobe=1;
+    // nprobe=4 of 16 lists keeps the scan a strict corpus subset
+    "ann_ivf_probe" -> ((s, dir) => {
+      val (idx, cents, q) = ivfIndexFor(s, dir)
+      SimilarityOps.probeIvfTopK(idx, "embedding", "vec_id", q, cents,
+        k = 10, nprobe = 4)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // ================= text analysis =================================
     "tx_token_count" -> ((s, dir) =>
       t(s, dir, "documents")
@@ -511,6 +565,77 @@ object SparkEntry {
         .groupBy(col("user_id")).agg(max(col("sess_id")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .orderBy(col("user_id"))
+    }),
+
+    // ================= continuous ingest (Structured Streaming) ======
+    // The streaming twins of D1 exact dedup and F3 politeness
+    // (graft.streaming.StreamOps): a bounded MemoryStream feed — the
+    // documents table split into 2 deterministic micro-batches — is
+    // driven to completion inside the closure, so the stateful
+    // streaming path itself (watermarked dedup state, per-host
+    // flatMapGroupsWithState deadlines) produces the DuckDB-checked
+    // output. StreamSpec pins the state-across-batches behavior on
+    // crafted inputs; the .collect() feeds are the bounded test
+    // harness, not a scale pattern (a production feed is a real
+    // source).
+    "st_dedup_stream" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1).toSeq
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+      // +3600 s: a row whose event time EQUALS the current watermark is
+      // dropped as late, and the initial watermark is epoch 0 — so the
+      // feed must not start at t=0
+      val withTs = ms.toDF().toDF("doc_id", "text")
+        .withColumn("event_time",
+          timestamp_seconds(lit(3600.0) + pmod(col("doc_id"), lit(1000000L)) / lit(1000.0)))
+      val sink = "st_dedup_sink_" + streamSinkSeq.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("st-dedup-ckpt").toString
+      val q = graft.streaming.StreamOps
+        .dedupStream(withTs, Seq("text"), "event_time", "1 hour")
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        ms.addData(docs) // batch 1: the corpus (dup-free)
+        q.processAllAvailable()
+        // batch 2: an exact copy of every document, same event times —
+        // all suppressed by batch 1's dedup state
+        ms.addData(docs.map { case (i, tx) => (i + 1000000L, tx) })
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("text")).orderBy(col("text"))
+    }),
+
+    "st_host_throttle" -> ((s, dir) => {
+      import s.implicits._
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+      // deterministic request log over the document ids: 7 hosts;
+      // hosts 0-2 arrive every 400 ms (slower than the 1000 ms crawl
+      // delay — permanent backlog, the s_{i-1}+delay branch), hosts
+      // 3-6 every 1600 ms (faster than needed — the own-t branch)
+      val ids = t(s, dir, "documents").select(col("doc_id"))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      val reqs = ids.map(i => graft.streaming.FetchReq("h" + (i % 7), "u" + i,
+        (i / 7) * (if (i % 7 < 3) 400L else 1600L)))
+      val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[graft.streaming.FetchReq]
+      val sink = "st_throttle_sink_" + streamSinkSeq.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("st-throttle-ckpt").toString
+      val q = graft.streaming.StreamOps.hostThrottle(ms.toDS(), delayMs = 1000L)
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .option("checkpointLocation", ckpt).start()
+      try {
+        // event-time-ordered split into 2 micro-batches: batch 2's
+        // schedules depend on batch 1's per-host deadline state
+        val mid = if (reqs.isEmpty) 0L else reqs.map(_.t).max / 2
+        val (b1, b2) = reqs.partition(_.t <= mid)
+        ms.addData(b1)
+        q.processAllAvailable()
+        ms.addData(b2)
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(sink).select(col("host"), col("url"), col("t"), col("scheduled"))
+        .orderBy(col("host"), col("t"), col("url"))
     }),
 
     // ================= crawl engine end-to-end (SURVEY §2.11/§3) ====
@@ -713,6 +838,13 @@ object SparkEntry {
     "ann_lsh_probe" ->
       """SELECT 2000000 + i AS vec_id FROM range(10) t(i) ORDER BY vec_id""".stripMargin,
 
+    "ann_ivf_index_build" ->
+      """SELECT (SELECT count(*) + 9 FROM embeddings) AS n_rows,
+        | (SELECT count(*) + 9 FROM embeddings) AS n_ids""".stripMargin,
+
+    "ann_ivf_probe" ->
+      """SELECT 2000000 + i AS vec_id FROM range(10) t(i) ORDER BY vec_id""".stripMargin,
+
     "dd_ngram_jaccard" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS t FROM documents),
@@ -812,6 +944,31 @@ object SparkEntry {
         | FROM (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
         |       FROM events))
         |GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // the streaming dedup emits each distinct text exactly once (the
+    // batch-2 exact copies are suppressed by cross-batch state)
+    "st_dedup_stream" ->
+      """SELECT DISTINCT text FROM documents ORDER BY text""".stripMargin,
+
+    // closed form of the per-host politeness recurrence
+    // s_i = max(t_i, s_{i-1} + delay), s_0 = t_0:
+    // s_i = delay*i + max_{j<=i}(t_j - delay*j)
+    "st_host_throttle" ->
+      """WITH r AS (
+        |  SELECT 'h' || CAST(doc_id % 7 AS VARCHAR) AS host,
+        |         'u' || CAST(doc_id AS VARCHAR) AS url,
+        |         CAST((doc_id // 7) *
+        |           (CASE WHEN doc_id % 7 < 3 THEN 400 ELSE 1600 END) AS BIGINT) AS t
+        |  FROM documents),
+        |n AS (
+        |  SELECT host, url, t,
+        |         CAST(row_number() OVER (PARTITION BY host ORDER BY t, url) - 1
+        |              AS BIGINT) AS i
+        |  FROM r)
+        |SELECT host, url, t,
+        |  CAST(1000 * i + max(t - 1000 * i) OVER (PARTITION BY host ORDER BY t, url
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS scheduled
+        |FROM n ORDER BY host, t, url""".stripMargin,
 
     "mm_media_meta" ->
       """SELECT doc_id,

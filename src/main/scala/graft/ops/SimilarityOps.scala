@@ -8,8 +8,10 @@ import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (array<float>): brute-force cosine top-k as the exactness baseline,
-  * and a random-hyperplane LSH bucketed variant as the scale path
-  * (candidates only within matching sign-sketch buckets). Dot products
+  * and two scale paths — a random-hyperplane LSH bucketed variant
+  * (candidates only within matching sign-sketch buckets) and an IVF
+  * (inverted-file) variant (corpus partitioned into k nearest-centroid
+  * lists, probes scan only the nprobe closest lists). Dot products
   * via zip_with/aggregate — pure Catalyst, codegen'd; the sign sketch
   * is a native expression over a driver-precomputed plane matrix
   * ([[HyperplaneChunks]]).
@@ -159,6 +161,192 @@ object SimilarityOps {
     df.select(col(idCol).as("id"),
       posexplode(bandChunksLongs(col(vecCol), bands, chunkBits, dims))
         .as(Seq("band", "chunk")))
+
+  // ================= IVF (inverted-file) ANN ========================
+  //
+  // The second scale path next to LSH: partition the corpus into k
+  // inverted lists by nearest centroid, probe only the nprobe lists
+  // whose centroids are closest to the query. Training is a bounded
+  // deterministic driver-side spherical k-means over a hash-selected
+  // sample (at 10^10 rows IVF training is ALWAYS on a bounded sample —
+  // sampleCap·dims doubles ≈ 2 MB at the defaults, and a driver-local
+  // Lloyd loop is deterministic where a distributed groupBy-avg is
+  // partition-order-sensitive in its float summation). Assignment and
+  // probing are the same k·dims dot-product loop, once as a native
+  // codegen expression over the corpus ([[NearestCentroid]]), once on
+  // the driver over the k-row centroid matrix ([[rankClusters]]).
+
+  /** Normalize each row of a flattened k×dims matrix to unit L2
+    * in place (zero rows stay zero) and return it.
+    */
+  private def normalizeRows(m: Array[Double], dims: Int): Array[Double] = {
+    var off = 0
+    while (off < m.length) {
+      var s = 0.0d
+      var d = 0
+      while (d < dims) { val x = m(off + d); s += x * x; d += 1 }
+      if (s > 0) {
+        val inv = 1.0d / math.sqrt(s)
+        d = 0
+        while (d < dims) { m(off + d) *= inv; d += 1 }
+      }
+      off += dims
+    }
+    m
+  }
+
+  /** All cluster indices ordered by (dot(vec, centroid) desc, index
+    * asc) — the SAME double-precision ascending-dim loop
+    * [[NearestCentroid]] runs per row, so `rankClusters(v).head` is
+    * exactly the cluster the build assigns vector v to. That identity
+    * is what makes a planted probe deterministic: exact copies of the
+    * query sit in the probe's first-ranked list by construction.
+    */
+  def rankClusters(vec: Seq[Float], centroids: Array[Double],
+      dims: Int = 64): Array[Int] = {
+    val k = centroids.length / dims
+    val n = math.min(vec.length, dims)
+    val scores = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      val off = c * dims
+      var s = 0.0d
+      var d = 0
+      while (d < n) { s += vec(d).toDouble * centroids(off + d); d += 1 }
+      scores(c) = s
+      c += 1
+    }
+    Array.range(0, k).sortBy(i => (-scores(i), i))
+  }
+
+  /** Deterministic sampled spherical k-means: collect the `sampleCap`
+    * rows with the smallest (xxhash64(id), id) — a seed-free uniform
+    * pseudo-sample that is stable across partitionings — initialize
+    * centroids from the first k sample vectors, run `iters` Lloyd
+    * iterations on the driver (empty clusters keep their previous
+    * centroid), and return the flattened k'×dims matrix normalized to
+    * unit rows (k' = min(k, sample size)). Bounded driver work:
+    * O(sampleCap·k·dims·iters) flops, no per-row data motion.
+    */
+  def trainCentroids(df: DataFrame, vecCol: String, idCol: String, k: Int,
+      iters: Int = 2, dims: Int = 64, sampleCap: Int = 4096): Array[Double] = {
+    require(k > 0 && iters >= 0 && sampleCap >= k,
+      s"need k>0, iters>=0, sampleCap>=k (got k=$k iters=$iters cap=$sampleCap)")
+    val rows = df
+      .select(col(idCol).as("i"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("i")), col("i"))
+      .limit(sampleCap)
+      .collect()
+    require(rows.nonEmpty, "trainCentroids: empty corpus")
+    val sample: Array[Array[Double]] = rows.map { r =>
+      val s = r.getSeq[Number](1)
+      val a = new Array[Double](dims)
+      var d = 0
+      val n = math.min(s.length, dims)
+      while (d < n) { a(d) = s(d).doubleValue(); d += 1 }
+      a
+    }
+    val kk = math.min(k, sample.length)
+    // flattened k'×dims working matrix, init = first k' sample rows
+    var cents = new Array[Double](kk * dims)
+    var c = 0
+    while (c < kk) {
+      System.arraycopy(sample(c), 0, cents, c * dims, dims); c += 1
+    }
+    var it = 0
+    while (it < iters) {
+      val normed = normalizeRows(cents.clone(), dims)
+      val sums = new Array[Double](kk * dims)
+      val cnt = new Array[Int](kk)
+      sample.foreach { v =>
+        // same argmax-dot loop as NearestCentroid (strict >: ties to
+        // the lowest index)
+        var best = 0
+        var bestS = Double.NegativeInfinity
+        var cc = 0
+        while (cc < kk) {
+          val off = cc * dims
+          var s = 0.0d
+          var d = 0
+          while (d < dims) { s += v(d) * normed(off + d); d += 1 }
+          if (s > bestS) { bestS = s; best = cc }
+          cc += 1
+        }
+        val off = best * dims
+        var d = 0
+        while (d < dims) { sums(off + d) += v(d); d += 1 }
+        cnt(best) += 1
+      }
+      val next = new Array[Double](kk * dims)
+      c = 0
+      while (c < kk) {
+        val off = c * dims
+        if (cnt(c) > 0) {
+          var d = 0
+          while (d < dims) { next(off + d) = sums(off + d) / cnt(c); d += 1 }
+        } else {
+          System.arraycopy(cents, off, next, off, dims)
+        }
+        c += 1
+      }
+      cents = next
+      it += 1
+    }
+    normalizeRows(cents, dims)
+  }
+
+  /** Nearest-centroid cluster id (int) for an embedding column.
+    * `centroids` is a flattened unit-normalized k×dims matrix (from
+    * [[trainCentroids]]); it rides the plan's codegen references —
+    * shipped once per executor, never per row.
+    */
+  def assignCluster(vec: Column, centroids: Array[Double],
+      dims: Int = 64): Column =
+    toColumn(NearestCentroid(toExpression(vec), centroids,
+      centroids.length / dims, dims))
+
+  /** Build-once IVF index: (cluster, id, vector) — the inverted lists.
+    * Persist, or at scale write with `.partitionBy("cluster")`, so a
+    * probe's `cluster IN (...)` filter prunes to nprobe lists at the
+    * source (partition pruning — no scan of the other k − nprobe
+    * lists). One pass over the corpus, k·dims flops per row, no
+    * shuffle (the assignment is a projection).
+    */
+  def buildIvfIndex(df: DataFrame, vecCol: String, idCol: String,
+      centroids: Array[Double], dims: Int = 64): DataFrame =
+    df.select(assignCluster(col(vecCol), centroids, dims).as("cluster"),
+      col(idCol), col(vecCol))
+
+  /** Probe a prebuilt IVF index: rank the k centroids against the
+    * query ON THE DRIVER (k·dims flops — the centroid table is tiny by
+    * construction), keep the top `nprobe` clusters, scan only those
+    * inverted lists and exact-cosine re-rank. Scanned fraction ≈
+    * nprobe/k of the corpus (exactly that under balanced lists);
+    * recall is the mass of true neighbors inside the probed lists —
+    * nprobe=k degenerates to exact brute force.
+    */
+  def probeIvfTopK(index: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], centroids: Array[Double], k: Int,
+      nprobe: Int = 4, dims: Int = 64): DataFrame = {
+    val probed = rankClusters(query, centroids, dims).take(nprobe)
+    index.filter(col("cluster").isin(probed.map(Int.box).toSeq: _*))
+      .select(col(idCol), round(cosine(col(vecCol), typedLit(query)), 6).as("cos"))
+      .orderBy(col("cos").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** One-shot IVF top-k = train + build + probe in one call
+    * (correctness surface; a probe-many workload persists
+    * [[buildIvfIndex]] once and calls [[probeIvfTopK]] per query —
+    * see SparkEntry's ann_ivf_index_build / ann_ivf_probe pair).
+    */
+  def ivfTopK(df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Float], k: Int, nClusters: Int = 16, nprobe: Int = 4,
+      dims: Int = 64): DataFrame = {
+    val cents = trainCentroids(df, vecCol, idCol, nClusters, dims = dims)
+    probeIvfTopK(buildIvfIndex(df, vecCol, idCol, cents, dims),
+      vecCol, idCol, query, cents, k, nprobe, dims)
+  }
 
   /** Embedding-cosine near-dup pairs via sketch-band bucketing (the
     * embedding flavor of DedupOps.minhashNearDups). 12 bands × 16-bit

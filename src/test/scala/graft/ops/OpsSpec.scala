@@ -172,6 +172,67 @@ class OpsSpec extends AnyFunSuite {
     assert(lsh.contains(7L), s"identical vector must be recalled: ${lsh.mkString(",")}")
   }
 
+  test("IVF: nprobe=k is exact; nprobe=1 recalls the planted copy from a pruned scan") {
+    val n = 400
+    val vecs = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(concat(col("id"), lit(":"), i)), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val q = vecs.filter(col("vec_id") === 7).head().getSeq[Float](1)
+    val corpus = vecs.unionByName(
+      Seq((9999L, q)).toDF("vec_id", "embedding"))
+    val cents = SimilarityOps.trainCentroids(corpus, "embedding", "vec_id",
+      k = 8, dims = 16)
+    assert(cents.length == 8 * 16)
+    val idx = SimilarityOps.buildIvfIndex(corpus, "embedding", "vec_id", cents, dims = 16)
+    // nprobe = k scans every list — must equal exact brute force
+    val full = SimilarityOps.probeIvfTopK(idx, "embedding", "vec_id", q, cents,
+      k = 5, nprobe = 8, dims = 16).collect().map(_.getLong(0)).toSeq
+    val brute = SimilarityOps.bruteTopK(corpus, "embedding", "vec_id", q, 5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == brute, s"nprobe=k must be exact: $full vs $brute")
+    // nprobe = 1: the exact copy sits in the first-ranked list by
+    // construction (assignment argmax ≡ probe ranking head), and the
+    // probed list is a strict subset of the corpus
+    val one = SimilarityOps.probeIvfTopK(idx, "embedding", "vec_id", q, cents,
+      k = 2, nprobe = 1, dims = 16).collect().map(_.getLong(0)).toSet
+    assert(one.contains(9999L) && one.contains(7L),
+      s"planted copy + self must be recalled from the top list: $one")
+    val probed = SimilarityOps.rankClusters(q, cents, dims = 16).head
+    val scanned = idx.filter(col("cluster") === probed).count()
+    assert(scanned < n, s"nprobe=1 must scan a strict subset, got $scanned of $n")
+  }
+
+  test("NearestCentroid ≡ driver rankClusters head, bit-for-bit (eval + codegen)") {
+    val vecs = spark.range(64).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(15)),
+        i => (pmod(xxhash64(col("id"), i), lit(1000)).cast("double") / 500.0 - 1.0)
+          .cast("float")).as("embedding"))
+    val cents = SimilarityOps.trainCentroids(vecs, "embedding", "vec_id",
+      k = 5, dims = 16)
+    // deterministic training: same call → same matrix, unit rows
+    val again = SimilarityOps.trainCentroids(vecs, "embedding", "vec_id",
+      k = 5, dims = 16)
+    assert(cents.sameElements(again), "trainCentroids must be deterministic")
+    for (c <- 0 until 5) {
+      val norm = math.sqrt((0 until 16).map(d => cents(c * 16 + d) * cents(c * 16 + d)).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"centroid $c not unit-norm: $norm")
+    }
+    for (cg <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val assigned = vecs.select(col("vec_id"),
+          SimilarityOps.assignCluster(col("embedding"), cents, dims = 16).as("cluster"),
+          col("embedding"))
+        .collect()
+      assigned.foreach { r =>
+        val want = SimilarityOps.rankClusters(r.getSeq[Float](2), cents, dims = 16).head
+        assert(r.getInt(1) == want,
+          s"assignment mismatch for ${r.getLong(0)} (codegen=$cg): ${r.getInt(1)} vs $want")
+      }
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
   test("langId classifies obvious samples and falls back to und") {
     val df = Seq(
       ("the cat and the dog went to the house and it was good", "en"),
