@@ -215,6 +215,43 @@ object Report {
     sb.toString
   }
 
+  /** S8 REST report exporter (report_exporter.py:27-63): the same
+    * payload S7 serializes, shipped over HTTP — HEAD-probe
+    * `<reportUrl>/data` (warn, don't fail, when the API is down,
+    * :32-36), optionally DELETE the previous report when `cleanReport`
+    * (:45-53), then POST the YAML as a form-encoded `payload` field
+    * (:55-60). Transport errors log and return -1 (the reference logs
+    * ConnectionError and continues — the crawl result is never
+    * hostage to the report server). Pure `java.net.http` against a
+    * caller-supplied URL; ReportSpec drives it against an in-process
+    * loopback server — no external service in the build or tests.
+    */
+  def restExport(payloadYaml: String, reportUrl: String,
+      cleanReport: Boolean = false): Int = {
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val data = java.net.URI.create(reportUrl + "/data")
+    val client = HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+    def send(r: HttpRequest): Int =
+      try client.send(r, HttpResponse.BodyHandlers.discarding()).statusCode()
+      catch { case _: java.io.IOException => -1 }
+    val head = send(HttpRequest.newBuilder(data)
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()).build())
+    if (head != 200)
+      System.err.println("[report_exporter] Is report REST API running?")
+    if (cleanReport) {
+      val del = send(HttpRequest.newBuilder(data).DELETE().build())
+      if (del != 200) System.err.println("[report_exporter] Delete failed")
+    }
+    val form = "payload=" +
+      java.net.URLEncoder.encode(payloadYaml, "UTF-8")
+    val post = send(HttpRequest.newBuilder(data)
+      .header("Content-Type", "application/x-www-form-urlencoded")
+      .POST(HttpRequest.BodyPublishers.ofString(form)).build())
+    if (post != 200) System.err.println("[report_exporter] Upload failed")
+    post
+  }
+
   private def xmlEscape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 }

@@ -126,4 +126,38 @@ class ReportSpec extends AnyFunSuite {
     assert(r.getLong(0) == oracle.links.size.toLong)
     assert(r.getLong(1) == oracle.links.count(_.processed).toLong)
   }
+
+  test("restExport (S8): HEAD probe, DELETE on cleanreport, form-encoded POST payload") {
+    // in-process loopback server standing in for the report REST API
+    // (report_exporter.py POSTs payload=<yaml> to <report>/data and
+    // DELETEs first when cleanreport) — no external service
+    val calls = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val srv = com.sun.net.httpserver.HttpServer
+      .create(new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    srv.createContext("/data", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), "UTF-8")
+      calls.synchronized { calls += ((ex.getRequestMethod, body)) }
+      ex.sendResponseHeaders(200, -1)
+      ex.close()
+    })
+    srv.start()
+    try {
+      val url = s"http://127.0.0.1:${srv.getAddress.getPort}"
+      val payload = Report.yamlReport(run, maxRows = 5)
+      assert(payload.contains("transactions:") && payload.contains("defects:"))
+      assert(Report.restExport(payload, url, cleanReport = true) == 200)
+      val seq = calls.synchronized(calls.toList)
+      assert(seq.map(_._1) == List("HEAD", "DELETE", "POST"),
+        s"reference call order: ${seq.map(_._1)}")
+      val posted = java.net.URLDecoder.decode(
+        seq.last._2.stripPrefix("payload="), "UTF-8")
+      assert(posted == payload, "POST body must round-trip the YAML payload")
+      // without cleanreport: no DELETE (report_exporter.py:45-53)
+      calls.synchronized(calls.clear())
+      assert(Report.restExport(payload, url) == 200)
+      assert(calls.synchronized(calls.toList.map(_._1)) == List("HEAD", "POST"))
+    } finally srv.stop(0)
+    // down API: transport error logs and returns -1, never throws
+    assert(Report.restExport("x", "http://127.0.0.1:1") == -1)
+  }
 }
