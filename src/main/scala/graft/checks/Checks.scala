@@ -236,10 +236,20 @@ object Checks {
         one(!flags.contains("h"), 10, "seo:img:noheight", s.getField("text"), 0.6))
     })))
 
-    // mailer (mailer.py:27-50), default config: mailto links only
-    val mails = reindex(transform(ofKind(sp, "mail"), s => mk(11, "mail",
-      concat(lit("Link: "), s.getField("text"),
-        lit(", valid: True (checked SMTP server: False, verified existence: False)")), 0.8)))
+    // mailer (mailer.py:27-50), default config (mx/exists off): the
+    // syntactic tier decides valid and the severity index
+    // (__severities[sum] = 0.3 invalid / 0.8 valid, :14,47); the
+    // network tiers are the build-once MailerCache path
+    val mails = reindex(transform(ofKind(sp, "mail"), s => {
+      val valid = s.getField("text").rlike(mailValidRegex)
+      struct(lit(11).as("phase"), lit("mail").as("typeName"),
+        concat(lit("Link: "), s.getField("text"), lit(", valid: "),
+          when(valid, "True").otherwise("False"),
+          lit(" (checked SMTP server: False, verified existence: False)"))
+          .cast(StringType).as("evidence"),
+        when(valid, 0.8d).otherwise(0.3d).as("severity"),
+        lit(0).as("sub"))
+    }))
 
     // non_semantic_html (non_semantic_html.py:66-90, phase 13 in the
     // declared plugin order): html-tag spans carry tag name in `text`
@@ -298,7 +308,35 @@ object Checks {
       tag("tidyHtmlValidator", tidy), tag("tinycss", cssErrs))
   }
 
+  /** Syntactic e-mail validity (mailer.py:63's bottom tier —
+    * `validate_email(mail)` with mx/exists off, the reference's
+    * DEFAULT config). Declared approximation of the validate_email
+    * package's RFC-2822 addr-spec: dot-atom local part (no leading/
+    * trailing/double dots), LDH domain labels, ≥2 labels. One anchored
+    * Java-regex source evaluated identically by the engine (`rlike`)
+    * and the serial oracle (`find()` — same find semantics as rlike,
+    * anchored by the pattern itself).
+    */
+  val mailValidRegex: String =
+    "^[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+(?:\\.[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]+)*" +
+      "@[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?" +
+      "(?:\\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)+$"
+
+  @transient private lazy val mailValidP = mailValidRegex.r.pattern
+
+  /** Serial twin of the engine's `rlike(mailValidRegex)`. */
+  def mailValidSyntax(addr: String): Boolean =
+    addr != null && mailValidP.matcher(addr).find()
+
   /** Mail defect description twin for the oracle. */
-  def mailEvidence(addr: String): String =
-    s"Link: $addr, valid: True (checked SMTP server: False, verified existence: False)"
+  def mailEvidence(addr: String): String = {
+    val v = if (mailValidSyntax(addr)) "True" else "False"
+    s"Link: $addr, valid: $v (checked SMTP server: False, verified existence: False)"
+  }
+
+  /** Mail defect severity for the oracle (mailer.py:14,47:
+    * __severities[is_valid + mx + verify], default config mx=verify=0).
+    */
+  def mailSeverity(addr: String): Double =
+    if (mailValidSyntax(addr)) 0.8 else 0.3
 }

@@ -176,7 +176,8 @@ object RefCrawlOracle {
       }
       if (on("mailer")) {
         for (sp <- spans if sp.kind == "mail") // mailer (11)
-          defect(item.seq, "mail", graft.checks.Checks.mailEvidence(sp.text), 0.8, 11)
+          defect(item.seq, "mail", graft.checks.Checks.mailEvidence(sp.text),
+            graft.checks.Checks.mailSeverity(sp.text), 11)
       }
       if (on("tidyHtmlValidator")) {
         // tidy model (phase 14): typeName = "tidy:<cat>:<desc>",

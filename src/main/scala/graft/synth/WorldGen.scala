@@ -280,7 +280,14 @@ object WorldGen {
       buf += Span("script", kinds(pmod(mix(s.seed, 31L, d), 4)), null, o2); o2 += 10
     }
     if (s.mailEvery > 0 && pmod(mix(s.seed, 32L, d), s.mailEvery) == 0) {
-      buf += Span("mail", s"user${pmod(mix(s.seed, 33L, d), 50)}@example.test", null, o2)
+      // every 3rd mail-carrying doc plants a syntactically INVALID
+      // address (double @, empty domain label) so the mailer's
+      // validity tier (severity 0.3 vs 0.8) is exercised by parity
+      val n = pmod(mix(s.seed, 33L, d), 50)
+      val addr =
+        if (pmod(mix(s.seed, 34L, d), 3) == 0) s"user$n@@example..test"
+        else s"user$n@example.test"
+      buf += Span("mail", addr, null, o2)
       o2 += 10
     }
     if (s.tidyEvery > 0 && pmod(mix(s.seed, 46L, d), s.tidyEvery) == 0) {

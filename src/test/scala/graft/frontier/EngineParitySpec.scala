@@ -173,8 +173,16 @@ class EngineParitySpec extends AnyFunSuite {
   }
 
   test("parity: checker-zoo (dupdetect/css/meta/script/img/mail checkers)") {
-    check(WorldSpec("checker-zoo", nHosts = 3, nDocs = 40, dupEvery = 4,
-      styleEvery = 3, metaEvery = 2, scriptEvery = 3, mailEvery = 4, imgEvery = 3))
+    val spec = WorldSpec("checker-zoo", nHosts = 3, nDocs = 40, dupEvery = 4,
+      styleEvery = 3, metaEvery = 2, scriptEvery = 3, mailEvery = 4, imgEvery = 3)
+    check(spec)
+    // the world must exercise BOTH mailer validity tiers (0.8 valid /
+    // 0.3 planted-invalid) or the parity above proves nothing about D6
+    val o = graft.oracle.RefCrawlOracle.crawl(
+      graft.synth.WorldGen.localWorld(spec), cfg(spec))
+    val sevs = o.defects.filter(_.defect.typeName == "mail")
+      .map(_.defect.severity).toSet
+    assert(sevs == Set(0.3, 0.8), s"both mail validity tiers expected: $sevs")
   }
 
   test("parity: urlLimit cap") {
