@@ -3,7 +3,7 @@ package graft.frontier
 import graft.checkpoint.SnapshotStore
 import graft.checkpoint.SnapshotStore.asDelta
 import graft.model._
-import graft.seen.UrlSeen
+import graft.seen.{PartitionedBloom, UrlSeen}
 import graft.url.UrlFuncs
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -286,6 +286,12 @@ object CrawlDriver {
       checkpointDir: String, useBloom: Boolean = true,
       bloomMinSeen: Long = 100000L, distBootstrapMin: Int = 50000,
       compactEvery: Int = 8,
+      /** single-bloom broadcast budget: past it the prefilter switches
+        * to the bucket-sharded file-backed family (PartitionedBloom) */
+      bloomBudgetBytes: Long = 256L << 20,
+      /** bucket count of the partitioned family (sized so total-bitset
+        * ∕ buckets stays executor-cache friendly at target scale) */
+      bloomBuckets: Int = 8192,
       /** distributed seed table (i: Long unique ascending, raw: String);
         * replaces cfg.seeds for wide frontiers (same push semantics) */
       seedSource: Option[DataFrame] = None,
@@ -453,12 +459,33 @@ object CrawlDriver {
     def fullBloom(src: DataFrame, cap: Long): Option[BloomFilter] =
       Some(UrlSeen.deserialize(UrlSeen.buildBloom(src,
         UrlSeen.seenKey(col("uri"), col("method")), cap)))
-    var bloomFut: Future[Option[BloomFilter]] =
-      if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L) &&
-          UrlSeen.bloomWithinBudget(bloomCapacity)) {
-        val src = seenCum; val cap = bloomCapacity
-        Future(fullBloom(src, cap))(bloomEc)
-      } else Future.successful(None)
+    // ---- past-budget prefilter: the bucket-sharded file family. Same
+    // async discipline as the single bloom (one state future, forced by
+    // the NEXT round's dedup-stage construction); epoch dirs live under
+    // the snapshot store, keyed by the round that wrote them.
+    val bloomFamBase = s"$checkpointDir/seen_bloom_buckets"
+    def famCapPerBucket(cap: Long): Long =
+      math.max(64L, cap / math.max(bloomBuckets, 1))
+    def seenKeys(src: DataFrame): DataFrame =
+      src.select(UrlSeen.seenKey(col("uri"), col("method")).as("k"))
+    def buildFamily(src: DataFrame, cap: Long, epoch: Int) =
+      Some(PartitionedBloom.build(seenKeys(src), bloomFamBase, bloomBuckets,
+        famCapPerBucket(cap), epoch = epoch))
+    val singleBloomFits = () => UrlSeen.bloomWithinBudget(bloomCapacity,
+      budgetBytes = bloomBudgetBytes)
+    var famFut: Future[Option[PartitionedBloom.BloomFamily]] =
+      Future.successful(None)
+    var bloomFut: Future[Option[BloomFilter]] = Future.successful(None)
+    if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L)) {
+      val src = seenCum; val cap = bloomCapacity
+      if (singleBloomFits()) bloomFut = Future(fullBloom(src, cap))(bloomEc)
+      else if (bloomBuckets > 0)
+        famFut = Future(buildFamily(src, cap, epoch = last))(bloomEc)
+    }
+    def prefilterNow(): Option[UrlSeen.SeenPrefilter] =
+      Await.result(bloomFut, Duration.Inf)
+        .map(b => UrlSeen.SingleBloomPrefilter(bloomToBytes(b)): UrlSeen.SeenPrefilter)
+        .orElse(Await.result(famFut, Duration.Inf).map(_.prefilter))
 
     val lineageMetricNames =
       Seq("frontierIn", "fetched", "discovered", "deduped", "frontierOut",
@@ -478,7 +505,7 @@ object CrawlDriver {
         CrawlRound.RoundIn(round, frontier, seenParts.toSeq, hostState,
           dupParts.toSeq, mapsCum,
           c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount,
-          () => Await.result(bloomFut, Duration.Inf).map(bloomToBytes)))
+          () => prefilterNow()))
 
       // ---- forcing job: ONE action (collect of the tiny per-partition
       // lineage table) materializes the round's whole compute — the f5c
@@ -660,33 +687,49 @@ object CrawlDriver {
       // would wrongly bypass the exact anti-join, so every path covers
       // all deltas up to this round.
       val prevBloom = Await.result(bloomFut, Duration.Inf)
+      val prevFam = Await.result(famFut, Duration.Inf)
       val seenCumNow = seenCum
-      if (doCompact && useBloom && prevBloom.isDefined &&
+      if (doCompact && useBloom && (prevBloom.isDefined || prevFam.isDefined) &&
           c.seenCount > bloomCapacity / 4) {
         bloomCapacity = 4L * c.seenCount
         val cap = bloomCapacity
         // capacity policy (UrlSeen.bloomWithinBudget): past the
-        // broadcast budget the re-sized bitset is undeliverable and an
-        // under-sized bloom's FP rate → 1 (a no-op prefilter that still
-        // costs a probe per candidate) — drop the bloom; the exact
-        // anti-join band IS the correctness path and simply sees every
-        // candidate from here on
-        bloomFut =
-          if (UrlSeen.bloomWithinBudget(cap)) Future(fullBloom(seenCumNow, cap))(bloomEc)
-          else Future.successful(None)
-      } else if (useBloom && acceptedCount > 0) prevBloom match {
-        case Some(b) =>
+        // broadcast budget the re-sized single bitset is undeliverable
+        // and an under-sized bloom's FP rate → 1 (a no-op prefilter
+        // that still costs a probe per candidate) — switch to the
+        // bucket-sharded file family (PartitionedBloom), rebuilt at the
+        // new per-bucket capacity from the just-compacted seen table;
+        // the exact anti-join band remains the correctness path either
+        // way
+        if (UrlSeen.bloomWithinBudget(cap, budgetBytes = bloomBudgetBytes)) {
+          bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
+          famFut = Future.successful(None)
+        } else {
+          bloomFut = Future.successful(None)
+          famFut =
+            if (bloomBuckets > 0) Future(buildFamily(seenCumNow, cap, round))(bloomEc)
+            else Future.successful(None)
+        }
+      } else if (useBloom && acceptedCount > 0) (prevBloom, prevFam) match {
+        case (Some(b), _) =>
           val cap = bloomCapacity
           bloomFut = Future({
             b.mergeInPlace(UrlSeen.deserialize(UrlSeen.buildBloom(seenDelta,
               UrlSeen.seenKey(col("uri"), col("method")), cap)))
             Some(b)
           })(bloomEc)
-        case None if c.seenCount >= math.max(bloomMinSeen, 1L) &&
-            UrlSeen.bloomWithinBudget(bloomCapacity) =>
+        case (None, Some(fam)) =>
+          // LSM merge: only the delta's touched buckets are rewritten
+          // under this round's epoch; untouched buckets keep theirs
+          famFut = Future(
+            Some(PartitionedBloom.merge(seenKeys(seenDelta), fam, round)))(bloomEc)
+        case (None, None) if c.seenCount >= math.max(bloomMinSeen, 1L) =>
           val cap = bloomCapacity
-          bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
-        case None => ()
+          if (UrlSeen.bloomWithinBudget(cap, budgetBytes = bloomBudgetBytes))
+            bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
+          else if (bloomBuckets > 0)
+            famFut = Future(buildFamily(seenCumNow, cap, round))(bloomEc)
+        case _ => ()
       }
 
       // ---- release: await the PREVIOUS round's write (it re-read the

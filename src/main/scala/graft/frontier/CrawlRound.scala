@@ -184,10 +184,12 @@ object CrawlRound {
       nextSeq: Long, nextPos: Long, seenCount: Long,
       /** frontier pos range [posLo, nextPos) — bounded-rank bucket keys */
       posLo: Long,
-      /** thunk, not bytes: the driver merges the seen-bloom
+      /** thunk, not a value: the driver merges the seen-bloom
         * ASYNCHRONOUSLY (the merge job overlaps this round's checkpoint
-        * job); run() forces it only when the dedup stage is built */
-      seenBloom: () => Option[Array[Byte]])
+        * job); run() forces it only when the dedup stage is built.
+        * Yields the single broadcast bloom within budget, the
+        * bucket-sharded family past it, or None (prefilter off). */
+      seenBloom: () => Option[UrlSeen.SeenPrefilter])
 
   case class RoundOut(
       frontierOut: DataFrame,

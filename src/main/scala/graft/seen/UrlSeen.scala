@@ -24,10 +24,11 @@ import org.apache.spark.util.sketch.BloomFilter
   *     reduction. Blooms have no false negatives, so no URL can be
   *     dropped incorrectly.
   *
-  * At 10^10 scale the bloom is built per host-hash partition and only
-  * the partitions matching the round's candidate hosts are broadcast;
-  * in this sandbox a single merged bloom suffices (documented scale
-  * path, same code shape).
+  * At 10^10 scale the single merged bitset exceeds any broadcast
+  * budget; past [[bloomWithinBudget]] the prefilter switches to the
+  * bucket-sharded file-backed family ([[PartitionedBloom]]) — executors
+  * load only the bucket blooms their rows probe, and per-round
+  * maintenance rewrites only the touched buckets (LSM-style epochs).
   */
 object UrlSeen {
 
@@ -84,6 +85,44 @@ object UrlSeen {
   def deserialize(bytes: Array[Byte]): BloomFilter =
     BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes))
 
+  /** Band-1 prefilter strategies for [[dedupeAgainstSeen]]: given the
+    * candidate key columns, produce the Boolean "maybe seen" column
+    * (true → verify exactly; false → DEFINITELY new, bypass the
+    * anti-join shuffle). Both variants guarantee no false negatives.
+    */
+  sealed trait SeenPrefilter {
+    def might(uriCol: Column, methodCol: Column,
+        spark: org.apache.spark.sql.SparkSession): Column
+  }
+
+  /** One merged bloom broadcast as its bitset — the within-budget path
+    * ([[bloomWithinBudget]]).
+    */
+  final case class SingleBloomPrefilter(bytes: Array[Byte]) extends SeenPrefilter {
+    override def might(uriCol: Column, methodCol: Column,
+        spark: org.apache.spark.sql.SparkSession): Column = {
+      import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+      val bcast = spark.sparkContext.broadcast(bytes)
+      toColumn(BloomMightContain(
+        toExpression(seenKey(uriCol, methodCol)), bcast))
+    }
+  }
+
+  /** Per-bucket bloom files loaded on demand per executor — the
+    * past-budget path ([[PartitionedBloom]]); only the tiny
+    * bucket → epoch map is broadcast.
+    */
+  final case class BucketBloomPrefilter(fam: PartitionedBloom.BloomFamily)
+      extends SeenPrefilter {
+    override def might(uriCol: Column, methodCol: Column,
+        spark: org.apache.spark.sql.SparkSession): Column = {
+      import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+      val bcast = spark.sparkContext.broadcast(fam.epochs)
+      toColumn(BucketBloomContains(
+        toExpression(seenKey(uriCol, methodCol)), fam.base, fam.buckets, bcast))
+    }
+  }
+
   /** candidates ∖ seen on `uriCol`/`methodCol` (exact), with the bloom
     * prefilter splitting candidates into definitely-new (bypass the
     * shuffle) and maybe-seen (verified by left_anti).
@@ -99,21 +138,18 @@ object UrlSeen {
     * partitioning and sort order.
     */
   def dedupeAgainstSeen(candidates: DataFrame, seen: Seq[DataFrame],
-      uriCol: String, methodCol: String, bloomBytes: Option[Array[Byte]]): DataFrame = {
+      uriCol: String, methodCol: String, prefilter: Option[SeenPrefilter]): DataFrame = {
     def anti(df: DataFrame): DataFrame =
       seen.foldLeft(df) { (acc, part) =>
         val seenKeyed = part.select(col(uriCol).as("__s_uri"), col(methodCol).as("__s_m"))
         acc.join(seenKeyed,
           acc(uriCol) === col("__s_uri") && acc(methodCol) === col("__s_m"), "left_anti")
       }
-    bloomBytes match {
+    prefilter match {
       case None => anti(candidates)
-      case Some(bytes) =>
-        import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
-        val spark = candidates.sparkSession
-        val bcast = spark.sparkContext.broadcast(bytes)
-        val mightContain = toColumn(BloomMightContain(
-          toExpression(seenKey(col(uriCol), col(methodCol))), bcast))
+      case Some(pf) =>
+        val mightContain = pf.might(col(uriCol), col(methodCol),
+          candidates.sparkSession)
         val keyed = candidates.withColumn("__might", mightContain)
         val definitelyNew = keyed.filter(!col("__might")).drop("__might")
         val maybeSeen = keyed.filter(col("__might")).drop("__might")

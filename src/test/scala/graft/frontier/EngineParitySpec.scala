@@ -461,6 +461,30 @@ class EngineParitySpec extends AnyFunSuite {
     assert(compactions >= 3, s"expected periodic compactions, saw $compactions")
   }
 
+  test("parity with the PARTITIONED bloom family (past-budget prefilter)") {
+    // bloomBudgetBytes=1 keeps the single merged bloom over budget, so
+    // the prefilter runs the bucket-sharded file family for the whole
+    // crawl: initial build, per-round LSM merges (only touched buckets
+    // rewritten), and the compaction-time re-capacity rebuild all
+    // execute on a deep multi-round world — outputs must still equal
+    // the serial oracle bit-for-bit (band 2's exact anti-join is the
+    // truth; the family only routes candidates around it)
+    val spec = WorldSpec("deep-slow", nHosts = 2, nDocs = 44, hotPct = 50,
+      slowEvery = 2, slowDelayS = 12.0)
+    val c = cfg(spec)
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val dir = Files.createTempDirectory("crawl-bucketbloom").toString
+    val run = CrawlDriver.crawl(spark, world(spec), c, dir,
+      bloomMinSeen = 0L, compactEvery = 5,
+      bloomBudgetBytes = 1L, bloomBuckets = 8)
+    assertParity(oracle, run)
+    // the family must actually have been used: epoch dirs exist with
+    // several distinct epochs (initial build + per-round merges)
+    val base = new java.io.File(s"$dir/seen_bloom_buckets")
+    val epochs = Option(base.list()).map(_.count(_.startsWith("epoch-"))).getOrElse(0)
+    assert(epochs >= 3, s"expected multiple bloom-family epochs, saw $epochs")
+  }
+
   test("resume: killing after round k and resuming yields identical outputs") {
     val spec = WorldSpec("resume-kill", nHosts = 2, nDocs = 30)
     val c = cfg(spec)

@@ -291,7 +291,8 @@ class OpsSpec extends AnyFunSuite {
       lit("GET").as("method"))
     val bloom = UrlSeen.buildBloom(seen,
       UrlSeen.seenKey(col("uri"), col("method")), 500)
-    val withBloom = UrlSeen.dedupeAgainstSeen(cand, Seq(seen), "uri", "method", Some(bloom))
+    val withBloom = UrlSeen.dedupeAgainstSeen(cand, Seq(seen), "uri", "method",
+      Some(UrlSeen.SingleBloomPrefilter(bloom)))
       .collect().map(_.getString(0)).toSet
     val exact = UrlSeen.dedupeAgainstSeen(cand, Seq(seen), "uri", "method", None)
       .collect().map(_.getString(0)).toSet
