@@ -59,6 +59,11 @@ object PartitionedBloom {
   private[seen] def bucketPath(base: String, epoch: Int, bucket: Int): String =
     f"$base/epoch-$epoch/bucket-$bucket%05d.bloom"
 
+  // NOTE: `new Configuration()` resolves the default Hadoop filesystem
+  // config, which covers local and HDFS paths; a deployment whose
+  // snapshot store needs credentialed config (e.g. object-store keys)
+  // would thread the session's hadoopConf here via a broadcast
+  // SerializableConfiguration instead.
   private def loadBloom(path: String): BloomFilter = {
     val p = new Path(path)
     val fs = p.getFileSystem(new Configuration())

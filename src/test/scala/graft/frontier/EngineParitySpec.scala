@@ -495,4 +495,22 @@ class EngineParitySpec extends AnyFunSuite {
     val resumed = CrawlDriver.crawl(spark, world(spec), c, dir)
     assertParity(oracle, resumed)
   }
+
+  test("resume with the PARTITIONED bloom family forced") {
+    // the family handle (bucket→epoch map) is driver-memory only; a
+    // resumed driver rebuilds it from the recovered seen table at
+    // epoch=last, OVERWRITING that epoch's bucket files (deterministic
+    // superset content — rename-over is harmless, stale buckets can
+    // only add false positives, and band 2's exact anti-join is the
+    // truth). Outputs must equal the serial oracle bit-for-bit.
+    val spec = WorldSpec("resume-bucketbloom", nHosts = 2, nDocs = 30)
+    val c = cfg(spec)
+    val oracle = RefCrawlOracle.crawl(WorldGen.localWorld(spec), c)
+    val dir = Files.createTempDirectory("crawl-resume-bb").toString
+    CrawlDriver.crawl(spark, world(spec), c.copy(maxRounds = 2), dir,
+      bloomMinSeen = 0L, bloomBudgetBytes = 1L, bloomBuckets = 8)
+    val resumed = CrawlDriver.crawl(spark, world(spec), c, dir,
+      bloomMinSeen = 0L, bloomBudgetBytes = 1L, bloomBuckets = 8)
+    assertParity(oracle, resumed)
+  }
 }
