@@ -48,8 +48,21 @@ object DedupOps {
       .select(col(idCol), col("len"), col("hash"), col("first_id"), col("n"))
   }
 
-  /** Word shingles (n-grams of tokens) as an array column. */
+  /** Word shingles (n-grams of tokens) as an array column: a native
+    * expression ([[WordShingles]]) — one compiled loop per row instead
+    * of the interpreted transform/slice/concat_ws ladder (the HOF form
+    * below stays as the bit-for-bit spec twin).
+    */
   def shingles(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+    toColumn(WordShingles(toExpression(split(lower(trim(text)), "\\s+")), n))
+  }
+
+  /** The pre-round-6 higher-order-function form of [[shingles]];
+    * retained as the independent reference implementation the native
+    * expression is unit-tested bit-for-bit against.
+    */
+  def shinglesHof(text: Column, n: Int): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
     when(size(tokens) < n, array(concat_ws(" ", tokens)))
       .otherwise(transform(sequence(lit(0), size(tokens) - n),
@@ -141,8 +154,19 @@ object DedupOps {
       .select(col("idA"), col("idB"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** Exact Jaccard similarity of two shingle-array columns. */
+  /** Exact Jaccard similarity of two shingle-array columns: a native
+    * expression ([[JaccardShingles]]) — one hash-set pass instead of
+    * four array-expression passes (distinct ×2, intersect, union).
+    */
   def jaccard(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+    toColumn(JaccardShingles(toExpression(a), toExpression(b)))
+  }
+
+  /** The pre-round-6 built-in-array-function form of [[jaccard]];
+    * retained as the spec twin for the equivalence test.
+    */
+  def jaccardHof(a: Column, b: Column): Column = {
     val ad = array_distinct(a)
     val bd = array_distinct(b)
     val inter = size(array_intersect(ad, bd)).cast("double")
@@ -151,10 +175,19 @@ object DedupOps {
   }
 
   /** 64-bit SimHash: per token-hash, each bit contributes ±1; the sign
-    * of each accumulated counter forms the sketch bit. Entirely
-    * aggregate/zip_with expressions.
+    * of each accumulated counter forms the sketch bit. A native
+    * expression ([[SimHashSketch]]) — one compiled loop per row; the
+    * aggregate/zip_with form below stays as the bit-for-bit spec twin.
     */
   def simhash64(text: Column): Column = {
+    import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+    toColumn(SimHashSketch(toExpression(split(lower(trim(text)), "\\s+"))))
+  }
+
+  /** The pre-round-6 higher-order-function form of [[simhash64]];
+    * retained as the spec twin for the equivalence test.
+    */
+  def simhash64Hof(text: Column): Column = {
     val tokens = split(lower(trim(text)), "\\s+")
     val counters = aggregate(
       tokens,

@@ -14,6 +14,16 @@ object TextOps {
   def tokenCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** Tokens contained in a fixed word set, counted by the native
+    * [[StopHits]] expression (one compiled loop; the
+    * size(filter(tokens, isin)) form it replaced ran as an interpreted
+    * lambda per token and is pinned as its spec twin in OpsSpec).
+    */
+  def stopwordHits(tokens: Column, words: Seq[String]): Column = {
+    import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
+    toColumn(StopHits(toExpression(tokens), words))
+  }
+
   /** BPE-ish subword token estimate: words + punctuation marks +
     * an extra token per 6 chars of long words (rough GPT-style rate).
     */
@@ -34,9 +44,9 @@ object TextOps {
     val punctRatio = length(regexp_replace(text, "[^\\p{Punct}]", "")) / greatest(len, lit(1.0))
     val digitRatio = length(regexp_replace(text, "[^0-9]", "")) / greatest(len, lit(1.0))
     val upperRatio = length(regexp_replace(text, "[^A-Z]", "")) / greatest(len, lit(1.0))
-    val stopHits = size(filter(split(lower(text), "\\s+"),
-      w => w.isin("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
-        "that", "for", "on", "with", "as", "was", "at", "by"))).cast("double")
+    val stopHits = stopwordHits(split(lower(text), "\\s+"),
+      Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+        "that", "for", "on", "with", "as", "was", "at", "by")).cast("double")
     val stopRatio = stopHits / greatest(nTokens, lit(1.0))
     val meanWordLen = len / greatest(nTokens, lit(1.0))
     val score =
@@ -70,7 +80,7 @@ object TextOps {
       "it" -> Seq("il", "la", "che", "di", "non", "per", "una", "sono", "con", "del"))
     val scored = profiles.zipWithIndex.map { case ((lang, words), i) =>
       struct(
-        size(filter(tokens, t => t.isin(words: _*))).as("hits"),
+        stopwordHits(tokens, words).as("hits"),
         lit(-i).as("prio"), // stable tie-break: earlier profile wins
         lit(lang).as("lang"))
     }

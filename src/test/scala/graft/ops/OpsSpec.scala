@@ -56,6 +56,77 @@ class OpsSpec extends AnyFunSuite {
     spark.conf.unset("spark.sql.codegen.wholeStage")
   }
 
+  // shared corpus for the native-vs-HOF equivalence tests: empty,
+  // single-token, unicode, repeated-token and long synthetic docs
+  private lazy val equivDocs = (Seq((0L, base), (1L, base + " extra"), (2L, "one"),
+    (3L, ""), (4L, "çà l'été ünïcode 字符 test"), (5L, "a a a b b a"),
+    (6L, "  leading and   trailing  ")) ++
+    (7L until 40L).map(i => (i, s"synthetic doc $i with shared words " * (i % 5 + 1).toInt)))
+    .toDF("doc_id", "text")
+
+  test("native WordShingles ≡ the HOF transform form, bit-for-bit (eval + codegen)") {
+    for (cg <- Seq("true", "false"); n <- Seq(1, 2, 3, 7)) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val both = equivDocs.select(
+        DedupOps.shingles(col("text"), n).as("native"),
+        DedupOps.shinglesHof(col("text"), n).as("hof")).collect()
+      both.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1),
+        s"shingle mismatch (codegen=$cg, n=$n): ${r.getSeq[String](0)} vs ${r.getSeq[String](1)}"))
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
+  test("native SimHashSketch ≡ the HOF aggregate form, bit-for-bit (eval + codegen)") {
+    for (cg <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val both = equivDocs.select(
+        DedupOps.simhash64(col("text")).as("native"),
+        DedupOps.simhash64Hof(col("text")).as("hof")).collect()
+      both.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"simhash mismatch (codegen=$cg): ${r.getLong(0)} vs ${r.getLong(1)}"))
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
+  test("native JaccardShingles ≡ the array-function form, bit-for-bit (eval + codegen)") {
+    val b = equivDocs.filter(col("doc_id") === 0)
+      .select(DedupOps.shingles(col("text"), 2).as("shB"))
+    for (cg <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val both = equivDocs.crossJoin(broadcast(b)).select(
+        DedupOps.jaccard(DedupOps.shingles(col("text"), 2), col("shB")).as("native"),
+        DedupOps.jaccardHof(DedupOps.shinglesHof(col("text"), 2), col("shB")).as("hof"))
+        .collect()
+      both.foreach(r => assert(r.getDouble(0) == r.getDouble(1),
+        s"jaccard mismatch (codegen=$cg): ${r.getDouble(0)} vs ${r.getDouble(1)}"))
+      // degenerate inputs: both empty (union 0), null elements, disjoint
+      val edge = spark.range(1).select(
+        DedupOps.jaccard(typedLit(Seq.empty[String]), typedLit(Seq.empty[String])).as("e"),
+        DedupOps.jaccardHof(typedLit(Seq.empty[String]), typedLit(Seq.empty[String])).as("eh"),
+        DedupOps.jaccard(typedLit(Seq[String]("x", null, "y")),
+          typedLit(Seq[String](null, "z", "x", "x"))).as("n"),
+        DedupOps.jaccardHof(typedLit(Seq[String]("x", null, "y")),
+          typedLit(Seq[String](null, "z", "x", "x"))).as("nh")).head()
+      assert(edge.getDouble(0) == edge.getDouble(1), s"empty-union mismatch (codegen=$cg)")
+      assert(edge.getDouble(2) == edge.getDouble(3), s"null-element mismatch (codegen=$cg)")
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
+  test("native StopHits ≡ size(filter(tokens, isin)), bit-for-bit (eval + codegen)") {
+    val words = Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for")
+    for (cg <- Seq("true", "false")) {
+      spark.conf.set("spark.sql.codegen.wholeStage", cg)
+      val both = equivDocs.select(
+        TextOps.stopwordHits(split(lower(col("text")), "\\s+"), words).as("native"),
+        size(filter(split(lower(col("text")), "\\s+"),
+          t => t.isin(words: _*))).as("hof")).collect()
+      both.foreach(r => assert(r.getInt(0) == r.getInt(1),
+        s"stop-hit mismatch (codegen=$cg): ${r.getInt(0)} vs ${r.getInt(1)}"))
+    }
+    spark.conf.unset("spark.sql.codegen.wholeStage")
+  }
+
   test("simhash: identical docs have distance 0; near-dups within 6; distinct far") {
     val df = Seq((0L, base), (1L, base), (2L, base + " tail"),
       (3L, "unrelated words entirely here about graphs")).toDF("id", "text")
