@@ -67,9 +67,12 @@ object MailerCache {
     val addrs = df.select(col(addrCol).cast("string").as("addr"))
       .where(col("addr").isNotNull).distinct().as[String]
     if (!checkMx && !checkExists) {
-      addrs.map { a =>
-        (a, Checks.mailValidSyntax(a), false, false)
-      }.toDF("addr", "valid", "mx", "verify")
+      // pure-syntax tier: the codegen'd rlike column (the exact regex
+      // whose serial twin is Checks.mailValidSyntax — .find() semantics
+      // on both), not a typed map per address
+      addrs.toDF("addr").select(col("addr"),
+        col("addr").rlike(Checks.mailValidRegex).as("valid"),
+        lit(false).as("mx"), lit(false).as("verify"))
     } else {
       addrs.map { a =>
         val r = probe.probe(a)

@@ -468,14 +468,37 @@ object CrawlDriver {
       math.max(64L, cap / math.max(bloomBuckets, 1))
     def seenKeys(src: DataFrame): DataFrame =
       src.select(UrlSeen.seenKey(col("uri"), col("method")).as("k"))
-    def buildFamily(src: DataFrame, cap: Long, epoch: Int) =
-      Some(PartitionedBloom.build(seenKeys(src), bloomFamBase, bloomBuckets,
-        famCapPerBucket(cap), epoch = epoch))
+    def buildFamily(src: DataFrame, cap: Long, epoch: Int) = {
+      val f = PartitionedBloom.build(seenKeys(src), bloomFamBase, bloomBuckets,
+        famCapPerBucket(cap), epoch = epoch)
+      PartitionedBloom.gcEpochs(f) // superseded epochs die with the build
+      Some(f)
+    }
     val singleBloomFits = () => UrlSeen.bloomWithinBudget(bloomCapacity,
       budgetBytes = bloomBudgetBytes)
     var famFut: Future[Option[PartitionedBloom.BloomFamily]] =
       Future.successful(None)
     var bloomFut: Future[Option[BloomFilter]] = Future.successful(None)
+    // ---- batched family-merge cadence state: deltas since the last
+    // family sync accumulate here (merged into the file family only on
+    // the compaction cadence — a per-round merge touches every bucket
+    // once delta ≫ buckets, i.e. a full family rewrite per round at the
+    // 10^10 design point) and meanwhile ride a small fixed-capacity
+    // "recent" bloom composed with the family
+    // (UrlSeen.CompositePrefilter), so the prefilter still covers every
+    // seen key with no false negatives.
+    val famPendingParts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var famPendingCount = 0L
+    var famRecentCap = 0L
+    var famRecentFut: Future[Option[BloomFilter]] = Future.successful(None)
+    def famRecentCapFor(windowEstimate: Long): Long = {
+      // capacity for one compaction window of deltas, clamped to the
+      // broadcast budget — an under-sized recent bloom only raises its
+      // FP rate (more exact-anti-join verification), never correctness
+      val est = math.max(4L * windowEstimate, 1L << 20)
+      val maxItems = math.max(bloomBudgetBytes * 8L * 10L / 192L, 1L << 20)
+      math.min(est, maxItems)
+    }
     if (useBloom && c.seenCount >= math.max(bloomMinSeen, 1L)) {
       val src = seenCum; val cap = bloomCapacity
       if (singleBloomFits()) bloomFut = Future(fullBloom(src, cap))(bloomEc)
@@ -485,7 +508,13 @@ object CrawlDriver {
     def prefilterNow(): Option[UrlSeen.SeenPrefilter] =
       Await.result(bloomFut, Duration.Inf)
         .map(b => UrlSeen.SingleBloomPrefilter(bloomToBytes(b)): UrlSeen.SeenPrefilter)
-        .orElse(Await.result(famFut, Duration.Inf).map(_.prefilter))
+        .orElse(Await.result(famFut, Duration.Inf).map { fam =>
+          Await.result(famRecentFut, Duration.Inf) match {
+            case Some(r) => UrlSeen.CompositePrefilter(fam.prefilter,
+              UrlSeen.SingleBloomPrefilter(bloomToBytes(r)))
+            case None => fam.prefilter
+          }
+        })
 
     val lineageMetricNames =
       Seq("frontierIn", "fetched", "discovered", "deduped", "frontierOut",
@@ -506,6 +535,7 @@ object CrawlDriver {
           dupParts.toSeq, mapsCum,
           c.nextSeq, c.nextPos, c.seenCount, c.nextPos - c.frontierCount,
           () => prefilterNow()))
+      if (trace0) println(f"[round $round] construct=${(System.nanoTime() - tR) / 1e9}%.1fs")
 
       // ---- forcing job: ONE action (collect of the tiny per-partition
       // lineage table) materializes the round's whole compute — the f5c
@@ -689,6 +719,17 @@ object CrawlDriver {
       val prevBloom = Await.result(bloomFut, Duration.Inf)
       val prevFam = Await.result(famFut, Duration.Inf)
       val seenCumNow = seenCum
+      // window estimate for the recent-delta bloom: this window's actual
+      // total when one just closed, else scaled from this round's delta
+      def famWindowEst(): Long = math.max(
+        math.max(famPendingCount + acceptedCount,
+          acceptedCount * math.max(compactEvery, 1)), bloomMinSeen)
+      def famSyncReset(): Unit = {
+        famRecentCap = famRecentCapFor(famWindowEst())
+        famPendingParts.clear()
+        famPendingCount = 0L
+        famRecentFut = Future.successful(None)
+      }
       if (doCompact && useBloom && (prevBloom.isDefined || prevFam.isDefined) &&
           c.seenCount > bloomCapacity / 4) {
         bloomCapacity = 4L * c.seenCount
@@ -698,9 +739,10 @@ object CrawlDriver {
         // and an under-sized bloom's FP rate → 1 (a no-op prefilter
         // that still costs a probe per candidate) — switch to the
         // bucket-sharded file family (PartitionedBloom), rebuilt at the
-        // new per-bucket capacity from the just-compacted seen table;
-        // the exact anti-join band remains the correctness path either
-        // way
+        // new per-bucket capacity from the just-compacted seen table
+        // (which contains every pending delta row); the exact anti-join
+        // band remains the correctness path either way
+        famSyncReset()
         if (UrlSeen.bloomWithinBudget(cap, budgetBytes = bloomBudgetBytes)) {
           bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
           famFut = Future.successful(None)
@@ -710,6 +752,23 @@ object CrawlDriver {
             if (bloomBuckets > 0) Future(buildFamily(seenCumNow, cap, round))(bloomEc)
             else Future.successful(None)
         }
+      } else if (doCompact && useBloom && prevFam.isDefined) {
+        // ---- batched LSM merge, once per compaction window: all
+        // pending delta keys (this round's included) go into the family
+        // under ONE new epoch — each touched bucket is read+written once
+        // per WINDOW instead of once per round, which is what keeps the
+        // family's maintenance I/O at O(family) per window instead of
+        // O(family) per round at the 10^10 steady state. The recent
+        // bloom resets; superseded epoch files are GC'd with the merge.
+        val fam = prevFam.get
+        val pendingKeys = seenKeys(
+          (famPendingParts.toSeq :+ seenDelta).reduce(_ unionByName _))
+        famSyncReset()
+        famFut = Future({
+          val merged = PartitionedBloom.merge(pendingKeys, fam, round)
+          PartitionedBloom.gcEpochs(merged)
+          Some(merged)
+        })(bloomEc)
       } else if (useBloom && acceptedCount > 0) (prevBloom, prevFam) match {
         case (Some(b), _) =>
           val cap = bloomCapacity
@@ -718,17 +777,33 @@ object CrawlDriver {
               UrlSeen.seenKey(col("uri"), col("method")), cap)))
             Some(b)
           })(bloomEc)
-        case (None, Some(fam)) =>
-          // LSM merge: only the delta's touched buckets are rewritten
-          // under this round's epoch; untouched buckets keep theirs
-          famFut = Future(
-            Some(PartitionedBloom.merge(seenKeys(seenDelta), fam, round)))(bloomEc)
+        case (None, Some(_)) =>
+          // family mode, mid-window: the delta does NOT touch the file
+          // family — it joins the pending set and merges into the
+          // fixed-capacity recent bloom (same capacity across the
+          // window so mergeInPlace composes), which the prefilter ORs
+          // with the family until the next compaction-cadence sync
+          famPendingParts += seenDelta
+          famPendingCount += acceptedCount
+          if (famRecentCap <= 0) famRecentCap = famRecentCapFor(famWindowEst())
+          val cap = famRecentCap
+          val prevRecent = Await.result(famRecentFut, Duration.Inf)
+          famRecentFut = Future({
+            val d = UrlSeen.deserialize(UrlSeen.buildBloom(seenDelta,
+              UrlSeen.seenKey(col("uri"), col("method")), cap))
+            Some(prevRecent match {
+              case Some(r) => r.mergeInPlace(d); r
+              case None => d
+            })
+          })(bloomEc)
         case (None, None) if c.seenCount >= math.max(bloomMinSeen, 1L) =>
           val cap = bloomCapacity
           if (UrlSeen.bloomWithinBudget(cap, budgetBytes = bloomBudgetBytes))
             bloomFut = Future(fullBloom(seenCumNow, cap))(bloomEc)
-          else if (bloomBuckets > 0)
+          else if (bloomBuckets > 0) {
+            famSyncReset()
             famFut = Future(buildFamily(seenCumNow, cap, round))(bloomEc)
+          }
         case _ => ()
       }
 

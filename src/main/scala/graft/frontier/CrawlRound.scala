@@ -210,6 +210,13 @@ object CrawlRound {
   private val LinkKinds = Seq("link", "css-link", "img", "iframe", "frame")
 
   def run(spark: SparkSession, world: PreparedWorld, cfg: CrawlConfig, in: RoundIn): RoundOut = {
+    val __trace = sys.env.contains("SPARK_GRAFT_TRACE2")
+    var __t = System.nanoTime()
+    def __mark(s: String): Unit = if (__trace) {
+      val now = System.nanoTime()
+      println(f"[run ${in.round}] $s=${(now - __t) / 1e9}%.2fs")
+      __t = now
+    }
     import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
     // round-varying plan parameters ride the codegen references array
     // (graft.plans.Dyn) so every BSP round reuses the same compiled
@@ -238,24 +245,39 @@ object CrawlRound {
       col("rrules").isNotNull && size(matching) > 0 && best.getField("rule") === "disallow"
     }
 
+    // NOTE on op batching (here and below): every Dataset operation
+    // (withColumn/join/select) EAGERLY re-analyzes the whole
+    // accumulated logical plan on the driver, and with ~100 ops per
+    // round over trees holding the big URL/check expression columns
+    // that analysis IS the per-round fixed cost on small worlds
+    // (measured ~1.9 s of a ~2.7 s round at 40 docs). Chains of
+    // independent columns are therefore grouped into single
+    // `withColumns` calls (ListMap: deterministic append order), one
+    // analyzer pass per dependency LEVEL instead of per column —
+    // column values are unchanged.
+    import scala.collection.immutable.ListMap
     val f1 = in.frontier
-      .withColumn("host", url_host(col("uri")))
-      .withColumn("pathq", url_pathq(col("uri")))
+      .withColumns(ListMap(
+        "host" -> url_host(col("uri")),
+        "pathq" -> url_pathq(col("uri"))))
       .join(broadcast(rulesAgg), Seq("host"), "left")
-      .withColumn("gate",
-        when(!url_is_valid(col("uri")), "invalid")
-          .when(!worthCol, "notworth")
-          .when(lit(cfg.maxDepth) > 0 && col("depth") > cfg.maxDepth, "deep")
-          .when(disallowedCol, "robots")
-          .otherwise("pass"))
+      .withColumns(ListMap(
+        "gate" ->
+          when(!url_is_valid(col("uri")), "invalid")
+            .when(!worthCol, "notworth")
+            .when(lit(cfg.maxDepth) > 0 && col("depth") > cfg.maxDepth, "deep")
+            .when(disallowedCol, "robots")
+            .otherwise("pass"),
+        // uri_normalizer (P5, uri_normalizer.py:22-27): a separate
+        // column — the frontier row (and hence deferral/crawl-order/
+        // non-OK transactions) keeps the pre-normalize uri, exactly
+        // like the reference where Reschedule fires before the
+        // normalizer plugin
+        "uriN" ->
+          (if (cfg.normalizeUris) url_defrag(url_normalize(col("uri"))) else col("uri"))))
       .drop("rrules", "pathq")
-
-    // uri_normalizer (P5, uri_normalizer.py:22-27): a separate column —
-    // the frontier row (and hence deferral/crawl-order/non-OK
-    // transactions) keeps the pre-normalize uri, exactly like the
-    // reference where Reschedule fires before the normalizer plugin
-    val f1n = f1.withColumn("uriN",
-      if (cfg.normalizeUris) url_defrag(url_normalize(col("uri"))) else col("uri"))
+    __mark("f1")
+    val f1n = f1
 
     // ---- fetch = frontier ⋈ pre-resolved fetch map (J6, one join) ----
     // P15: GET/HEAD request data rides the fetch URL (net.py:200-207);
@@ -269,12 +291,13 @@ object CrawlRound {
         concat(col("uriN"), lit("?"), col("dataQ"))).otherwise(col("uriN"))
     val f2 = f1n.withColumn("fetchKey", fetchKey)
       .join(world.fetchMap, col("fetchKey") === col("url"), "left")
-      .withColumn("ct", split(col("finCtRaw"), ";").getItem(0))
-      // a successful paramed fetch's r.url carries the query, so the
-      // primary-URI rewrite fires off fetchKey (net.py:121-123)
-      .withColumn("finalUrl",
-        when(col("redirTarget").isNotNull, url_defrag(col("redirTarget")))
-          .otherwise(col("fetchKey")))
+      .withColumns(ListMap(
+        "ct" -> split(col("finCtRaw"), ";").getItem(0),
+        // a successful paramed fetch's r.url carries the query, so the
+        // primary-URI rewrite fires off fetchKey (net.py:121-123)
+        "finalUrl" ->
+          when(col("redirTarget").isNotNull, url_defrag(col("redirTarget")))
+            .otherwise(col("fetchKey"))))
 
     val maxLenGate: Column = cfg.maxContentLength
       .map(m => col("finLen") > m).getOrElse(lit(false))
@@ -319,15 +342,28 @@ object CrawlRound {
                 col("firstSuccPos").isNotNull && col("pos") > col("firstSuccPos"))))
     }
 
+    __mark("f2f4")
     // ---- body (J6b: slim per-doc feature join; the heavy spans were
     // parsed once in prepare and never enter the round) ----------------
+    // (three analyzer levels: {uriHdr, reached200, hasSpans} →
+    // {uriOk} → {defArr, kidArr, locArr}. The hasSpans coalesce moves
+    // ahead of defArr, which is value-neutral: a null vs false
+    // `hasSpans` conjunct both leave the no-otherwise `when` null.)
     val f5 = f4
       .join(world.docs, f4("finDocId") === world.docs("doc_id"), "left")
-      // primary-URI rewrite chain: redirect → `Link: rel=canonical`
-      // response header (P7, canonical.py:22-28) → body canonical span
-      .withColumn("uriHdr",
-        when(col("finCanon").isNotNull, url_defrag(col("finCanon")))
-          .otherwise(url_defrag(col("finalUrl"))))
+      .withColumns(ListMap(
+        // primary-URI rewrite chain: redirect → `Link: rel=canonical`
+        // response header (P7, canonical.py:22-28) → body canonical span
+        "uriHdr" ->
+          when(col("finCanon").isNotNull, url_defrag(col("finCanon")))
+            .otherwise(url_defrag(col("finalUrl"))),
+        // reached200 (the G5/badtype gate) is precomputed so the fetch-
+        // resolution columns (url/uriN/redirect/canonical) can be
+        // dropped from the checkpoint row entirely
+        "reached200" -> ((col("gate") === "pass") &&
+          url_is_http(col("uriN")) && col("fetchClass") =!= "toomany" &&
+          col("url").isNotNull && (col("finStatus") === 200)),
+        "hasSpans" -> coalesce(col("hasSpans"), lit(false))))
       // the <link rel=canonical> rewrite is part of links_finder's
       // check (links_finder_plugin.py:38-50) — it only fires when the
       // F12 gate dispatches links_finder to this page; the gate sees
@@ -338,33 +374,27 @@ object CrawlRound {
             Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")),
           url_defrag(col("canonText")))
           .otherwise(col("uriHdr")))
-      // the precomputed tagged defect array needs only the
-      // transaction-dependent F12 gates applied (ct × primary uri)
-      .withColumn("defArr",
-        when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer"),
-          Checks.gateDefects(col("preDef"), col("ct"), col("uriOk"), cfg)))
-      // reached200 (the G5/badtype gate) is precomputed so the fetch-
-      // resolution columns (url/uriN/redirect/canonical) can be dropped
-      // from the checkpoint row entirely
-      .withColumn("reached200", (col("gate") === "pass") &&
-        url_is_http(col("uriN")) && col("fetchClass") =!= "toomany" &&
-        col("url").isNotNull && (col("finStatus") === 200))
-      .withColumn("hasSpans", coalesce(col("hasSpans"), lit(false)))
-      // G1/G2 kid candidate arrays, gates baked in — size() is the
-      // per-parent count the seq arithmetic needs and posexplode's
-      // index is the dense within-parent order, BY CONSTRUCTION the
-      // same array for both
-      .withColumn("kidArr",
-        when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer") &&
-            Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")),
-          filter(transform(col("linkSpans"), s =>
-            struct(s.getField("kind").as("kind"),
-              url_join(col("uriOk"), s.getField("href")).as("joined"))),
-            x => url_is_http(x.getField("joined"))))) // links_finder:57-59
-      .withColumn("locArr",
-        when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer") &&
-            Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")),
-          col("locsRaw")))
+      .withColumns(ListMap(
+        // the precomputed tagged defect array needs only the
+        // transaction-dependent F12 gates applied (ct × primary uri)
+        "defArr" ->
+          when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer"),
+            Checks.gateDefects(col("preDef"), col("ct"), col("uriOk"), cfg)),
+        // G1/G2 kid candidate arrays, gates baked in — size() is the
+        // per-parent count the seq arithmetic needs and posexplode's
+        // index is the dense within-parent order, BY CONSTRUCTION the
+        // same array for both
+        "kidArr" ->
+          when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer") &&
+              Checks.gateCol(cfg, "links_finder", col("ct"), col("uriHdr")),
+            filter(transform(col("linkSpans"), s =>
+              struct(s.getField("kind").as("kind"),
+                url_join(col("uriOk"), s.getField("href")).as("joined"))),
+              x => url_is_http(x.getField("joined")))), // links_finder:57-59
+        "locArr" ->
+          when(col("fetchClass") === "ok" && col("hasSpans") && !col("defer") &&
+              Checks.gateCol(cfg, "sitemap_scanner", col("ct"), col("uriOk")),
+            col("locsRaw"))))
       .drop("doc_id", "preDef", "canonText", "rrules", "linkSpans", "locsRaw",
         "uriN", "fetchKey", "finalUrl", "redirTarget", "finCanon",
         "url", "finDocId", "tooMany")
@@ -389,6 +419,7 @@ object CrawlRound {
     // takes the eager RELIABLE checkpoint: lazy reliable checkpointing
     // recomputes the pipeline a second time to write the checkpoint
     // files, and recovery must not depend on executor-local blocks.
+    __mark("f5")
     val tF0 = System.nanoTime()
     // capStats: bound the leaf's inherited statistics — in the pipelined
     // driver f5's inputs are the previous round's checkpoint leaves, and
@@ -399,6 +430,7 @@ object CrawlRound {
       else f5.checkpoint())
     if (sys.env.contains("SPARK_GRAFT_TRACE"))
       println(f"[round ${in.round}] f5cJob=${(System.nanoTime() - tF0) / 1e9}%.1fs")
+    __mark("f5c")
     val processed = f5c.filter(!col("defer"))
     val deferred = f5c.filter(col("defer"))
       .select("pos", "seq", "uri", "origUri", "depth", "srcSeq", "method",
@@ -420,6 +452,7 @@ object CrawlRound {
       statusCol.as("verificationStatus"),
       col("depth"), col("expected"), dynInt(in.round).as("round"))
 
+    __mark("tx")
     // ---- defects (deterministic order key: (popPos=pos, phase)) ------
     def defectDf(cond: Column, phase: Int, seqCol: Column, name: String,
         evidence: Column, sev: Double): DataFrame =
@@ -442,6 +475,7 @@ object CrawlRound {
         concat(lit("Declared "), col("ct"), lit(",detected "), col("finMime")), 0.3)
     ).reduce(_ unionByName _)
 
+    __mark("defects")
     // ---- checker plugins over OK pages (phases 4..11, Checks) --------
     // dupdetect (D4): vs all earlier OK pages (cross-round state +
     // earlier pops this round) with equal (size, body) and different uri
@@ -494,6 +528,7 @@ object CrawlRound {
     val checkerDefects = dupDefects.unionByName(Checks.pageDefects(okHtmlChk))
       .unionByName(smDefects)
 
+    __mark("checkers")
     // ---- link explode (G1/G2/G3) with ARITHMETIC seq assignment ------
     // idno parity: every scheme-passing link consumes a seq, dups
     // included (transaction.py:102-115); order = (parent pop, doc order;
@@ -541,6 +576,7 @@ object CrawlRound {
     val knownMapsDelta = won.map(_.select(col("loc").as("uri")))
       .getOrElse(spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
 
+    __mark("won")
     // per-parent kid counts (regular + virtual) -> exclusive prefix sum
     val cntReg = processed.select(col("pos"),
         (coalesce(size(col("kidArr")), lit(0)) +
@@ -570,25 +606,28 @@ object CrawlRound {
       .join(based.select(col("pos").as("parentPos"), col("base").as("sbase"),
         col("vcnt")), Seq("parentPos"))
 
+    __mark("counts")
     val kids1 = parents
       .select(col("parentSeq"), col("parentPos"), col("depth"), col("base"),
         col("sbase"), col("vcnt"),
         posexplode(col("kidArr")).as(Seq("childIdx", "k")))
-      .withColumn("seq",
-        dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
-      // unquote²∘quote folds to one unquote (UrlFuncs.canonLink): the
-      // quote round-trip allocated two extra strings per link for a
-      // provable no-op
-      .withColumn("decoded", url_unquote(col("k").getField("joined")))
+      .withColumns(ListMap(
+        "seq" ->
+          (dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx")),
+        // unquote²∘quote folds to one unquote (UrlFuncs.canonLink): the
+        // quote round-trip allocated two extra strings per link for a
+        // provable no-op
+        "decoded" -> url_unquote(col("k").getField("joined")),
+        "cexpected" ->
+          when(col("k").getField("kind") === "img", "image/")
+            .otherwise(lit(null).cast(StringType)),
+        "cdepth" -> (col("depth") + 1),
+        "referer" -> col("base"), // transaction.py:174
+        "smHost" -> lit(null).cast(StringType)))
       .withColumn("canon", url_defrag(col("decoded")))
-      .withColumn("cexpected",
-        when(col("k").getField("kind") === "img", "image/")
-          .otherwise(lit(null).cast(StringType)))
-      .withColumn("cdepth", col("depth") + 1)
-      .withColumn("referer", col("base")) // transaction.py:174
-      .withColumn("smHost", lit(null).cast(StringType))
       .select(kidCols.map(col): _*)
 
+    __mark("kids1")
     // ---- sitemap_scanner loc pushes (G2): raw locs, NO urljoin/quote
     // (sitemap_scanner.py:118-124 pushes the <loc> string directly).
     // When BOTH links_finder and sitemap_scanner fire on one page
@@ -603,17 +642,20 @@ object CrawlRound {
         col("sbase"), col("vcnt"),
         coalesce(size(col("kidArr")), lit(0)).as("nk"),
         posexplode(col("locArr")).as(Seq("locIdx", "loc")))
-      .withColumn("childIdx", col("nk") + col("locIdx"))
-      .withColumn("seq",
-        dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx"))
-      .withColumn("decoded", url_unquote2(col("loc")))
-      .withColumn("canon", url_defrag(col("decoded")))
-      .withColumn("cexpected", lit(null).cast(StringType))
-      .withColumn("cdepth", col("depth") + 1)
-      .withColumn("referer", col("base"))
-      .withColumn("smHost", lit(null).cast(StringType))
+      .withColumns(ListMap(
+        "childIdx" -> (col("nk") + col("locIdx")),
+        "decoded" -> url_unquote2(col("loc")),
+        "cexpected" -> lit(null).cast(StringType),
+        "cdepth" -> (col("depth") + 1),
+        "referer" -> col("base"),
+        "smHost" -> lit(null).cast(StringType)))
+      .withColumns(ListMap(
+        "seq" ->
+          (dynLong(in.nextSeq) + col("sbase") + col("vcnt") + col("childIdx")),
+        "canon" -> url_defrag(col("decoded"))))
       .select(kidCols.map(col): _*)
 
+    __mark("smloc")
     // virtual rows: robots tx at vidx 0, loc links at vidx 1+j hanging
     // off the robots tx's seq (push_link(new_map, robots_transaction),
     // robots.py:80) — both DIRECTLY computable from sbase, no post-rank
@@ -648,10 +690,12 @@ object CrawlRound {
       robotsRows.unionByName(mapRows)
     }
 
+    __mark("smvirt")
     val kids2 = (Seq(kids1, smLocKids) ++ smVirtualKids.toSeq)
       .reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    __mark("kids2")
     // ---- dedup: intra-round first-wins + URL-seen bands (D1) ---------
     // partial-aggregating groupBy (min by unique seq) instead of a
     // window: map-side combine shrinks the shuffle and skips the
@@ -670,6 +714,7 @@ object CrawlRound {
       firstKids, in.seen.map(_.select(col("uri").as("canon"), col("method"))),
       "canon", "method", in.seenBloom())
 
+    __mark("dedup")
     // urlLimit (F10): global dense rank by seq vs the remaining budget;
     // over-limit items vanish entirely (SeenLimit: no rows logged)
     val (accepted, droppedCanons) = cfg.urlLimit match {
@@ -683,6 +728,7 @@ object CrawlRound {
 
     val acceptedC = accepted.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    __mark("limit")
     // link rows: all created links, duplicates included, except SeenLimit
     // drops — an over-limit canon never enters the seen set, so EVERY
     // same-round occurrence hits SeenLimit and logs nothing
@@ -699,6 +745,7 @@ object CrawlRound {
       col("decoded"), col("cdepth").as("depth"), col("cexpected").as("expected"),
       dynInt(in.round).as("round"))
 
+    __mark("links")
     // ---- next frontier: deferred ∪ accepted, serial-FIFO arrival order
     val defPart = deferred.select(col("pos").as("creatorPos"), lit(0L).as("ci"),
       col("seq"), col("uri"), col("origUri"), col("depth"), col("srcSeq"),
@@ -715,6 +762,7 @@ object CrawlRound {
         "expected", "referer", "dataQ")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
+    __mark("frontier")
     // ---- host politeness state (closed form of the serial recurrence)
     val succ = processed.filter(col("wouldSucceed") && col("gate") === "pass")
       .groupBy("host").agg(count(lit(1)).as("J"),
@@ -729,6 +777,7 @@ object CrawlRound {
     val hostStateOut = in.hostState.join(succ, Seq("host"), "full")
       .select(col("host"), coalesce(col("newVt"), col("lastVisitS")).as("lastVisitS"))
 
+    __mark("host")
     // ---- G5 cookie recording (net.py:126, 209-218): response cookies
     // of every fetch that reached a 200 — recorded BEFORE accepted-type
     // filtering, so DONE-IGNORED cttype/toolong/mistyped rows keep theirs
@@ -754,6 +803,7 @@ object CrawlRound {
           h => h.getField("hvalue").isNotNull)).as("h"))
         .select(col("seq"), col("h.hname").as("hname"), col("h.hvalue").as("hvalue"))
 
+    __mark("cookhdr")
     // ---- per-partition lineage (A4 / north rule) ----------------------
     def lin(df: DataFrame, metric: String): DataFrame =
       df.select(lit(metric).as("metric"), spark_partition_id().as("partition"),
@@ -772,6 +822,7 @@ object CrawlRound {
       .agg(sum(col("w")).as("count"))
       .select("metric", "partition", "count")
 
+    __mark("lineage")
     RoundOut(frontierOut, acceptedOut, txProcessed, links,
       defects.unionByName(checkerDefects), hostStateOut,
       dupStateDelta, knownMapsDelta, headersOut, cookiesOut, lineage,

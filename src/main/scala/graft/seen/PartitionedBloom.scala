@@ -39,9 +39,9 @@ import org.apache.spark.util.sketch.BloomFilter
   *
   * Exactness never depends on any of this: the bloom family remains
   * band 1 of [[UrlSeen.dedupeAgainstSeen]] — candidates it accepts are
-  * still verified by the exact anti-join band. Epoch dirs are kept for
-  * the life of the crawl (a production deployment would GC epochs older
-  * than the oldest in-flight round's probe).
+  * still verified by the exact anti-join band. Superseded epoch files
+  * are deleted by [[gcEpochs]] after each completed build/merge (the
+  * bucket→epoch map is exactly the referenced set).
   */
 object PartitionedBloom {
 
@@ -78,9 +78,22 @@ object PartitionedBloom {
     val out = fs.create(tmp, true)
     try bloom.writeTo(out) finally out.close()
     // content is deterministic per (epoch, bucket), so a retried task
-    // re-renaming over a finished file is harmless
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename to $p failed")
+    // re-renaming over a finished file is harmless. Publish with
+    // OVERWRITE rename (FileContext) so the target is never absent —
+    // the exists→delete→rename form had a window where a concurrent
+    // probe (resume-time rebuild over existing files, or a zombie task
+    // on a cluster) could hit FileNotFoundException.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri,
+        new Configuration())
+      fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // filesystems without a FileContext binding keep the prior
+        // delete+rename publish (its absent-target window included)
+        if (fs.exists(p)) fs.delete(p, false)
+        if (!fs.rename(tmp, p)) throw new java.io.IOException(s"rename to $p failed")
+    }
   }
 
   /** One distributed pass: bucket `keys` (single Long column), insert
@@ -123,13 +136,49 @@ object PartitionedBloom {
       written.map(_ -> epoch).toMap)
   }
 
-  /** Merge a round's delta keys into the family under a new epoch:
+  /** Merge accumulated delta keys into the family under a new epoch:
     * only touched buckets are rewritten; the rest keep their epoch.
+    * Called on the COMPACTION cadence, not per round — with
+    * xxhash64-uniform keys any delta ≫ buckets touches every bucket,
+    * so a per-round merge degenerated to a full family rewrite per
+    * round (~2× family size of I/O each round at the 10^10 design
+    * point); batching K rounds of deltas bounds that rewrite to once
+    * per compaction window, while the un-merged window rides the
+    * driver's small recent-delta bloom ([[UrlSeen.CompositePrefilter]]).
     */
   def merge(deltaKeys: DataFrame, fam: BloomFamily, epoch: Int): BloomFamily = {
     val written = writeEpoch(deltaKeys, fam.base, fam.buckets,
       fam.capPerBucket, fam.fpp, epoch, prior = fam.epochs)
     fam.copy(epochs = fam.epochs ++ written.map(_ -> epoch))
+  }
+
+  /** Delete bucket files (and then-empty epoch dirs) no longer
+    * referenced by `fam.epochs` — the files superseded by merges and
+    * rebuilds. Safe to run right after a build/merge completes and
+    * before the new family is handed to a probe: the driver sequences
+    * rounds, so no in-flight task still probes a superseded epoch.
+    * Returns the number of files deleted.
+    */
+  def gcEpochs(fam: BloomFamily): Int = {
+    val basePath = new Path(fam.base)
+    val fs = basePath.getFileSystem(new Configuration())
+    if (!fs.exists(basePath)) return 0
+    val live: Set[String] = fam.epochs.map { case (b, e) =>
+      new Path(bucketPath(fam.base, e, b)).toUri.getPath
+    }.toSet
+    var deleted = 0
+    for (epochDir <- fs.listStatus(basePath) if epochDir.isDirectory &&
+        epochDir.getPath.getName.startsWith("epoch-")) {
+      var remaining = 0
+      for (f <- fs.listStatus(epochDir.getPath)) {
+        if (f.getPath.getName.endsWith(".bloom") &&
+            !live.contains(f.getPath.toUri.getPath)) {
+          if (fs.delete(f.getPath, false)) deleted += 1
+        } else remaining += 1
+      }
+      if (remaining == 0) fs.delete(epochDir.getPath, false)
+    }
+    deleted
   }
 }
 
@@ -139,31 +188,49 @@ object PartitionedBloom {
   * bound caps executor memory at ~maxEntries × per-bucket bitset
   * (choose `buckets` so total-bitset ∕ buckets is small — e.g. 90 GB
   * at 4×10^10 capacity over 8192 buckets is ~11 MB per entry).
+  * ACCESS-ORDERED (true LRU): a hot bucket re-probed across tasks is
+  * never evicted ahead of cold ones (the earlier FIFO queue also
+  * leaked its just-loaded key on a victim==key collision, eroding the
+  * bound). `maxEntries` comes from `spark.graft.bloomCacheEntries`
+  * via [[BucketBloomContains]] so deployments size the per-executor
+  * budget from executor memory instead of a hard-coded 64.
   */
 object BucketBloomCache {
-  private val maxEntries = 64
+  @volatile private var maxEntries = 64
   private val cache =
-    new java.util.concurrent.ConcurrentHashMap[String, BloomFilter]()
-  private val order =
-    new java.util.concurrent.ConcurrentLinkedQueue[String]()
-
-  def get(base: String, epoch: Int, bucket: Int): BloomFilter = {
-    val key = s"$base|$epoch|$bucket"
-    val hit = cache.get(key)
-    if (hit != null) return hit
-    val loaded = cache.computeIfAbsent(key, _ => {
-      order.add(key)
-      val p = new Path(PartitionedBloom.bucketPath(base, epoch, bucket))
-      val fs = p.getFileSystem(new Configuration())
-      val in = fs.open(p)
-      try BloomFilter.readFrom(in) finally in.close()
-    })
-    while (cache.size > maxEntries) {
-      val victim = order.poll()
-      if (victim == null) return loaded
-      if (victim != key) cache.remove(victim)
+    new java.util.LinkedHashMap[String, BloomFilter](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, BloomFilter]): Boolean =
+        size() > maxEntries
     }
-    loaded
+
+  /** Keys currently cached, hottest last (test hook). */
+  private[seen] def snapshotKeys(): Seq[String] = cache.synchronized {
+    import scala.jdk.CollectionConverters._
+    cache.keySet().asScala.toSeq
+  }
+  private[seen] def clear(): Unit = cache.synchronized(cache.clear())
+
+  def get(base: String, epoch: Int, bucket: Int,
+      entries: Int = 64): BloomFilter = {
+    if (entries != maxEntries && entries > 0) maxEntries = entries
+    val key = s"$base|$epoch|$bucket"
+    cache.synchronized {
+      val hit = cache.get(key) // access-ordered: get() marks it hot
+      if (hit != null) return hit
+    }
+    // load OUTSIDE the lock (a cold miss must not serialize every other
+    // thread's hits behind file I/O); a concurrent double-load of the
+    // same bucket is harmless — first put wins
+    val p = new Path(PartitionedBloom.bucketPath(base, epoch, bucket))
+    val fs = p.getFileSystem(new Configuration())
+    val in = fs.open(p)
+    val loaded = try BloomFilter.readFrom(in) finally in.close()
+    cache.synchronized {
+      val prev = cache.get(key)
+      if (prev != null) prev
+      else { cache.put(key, loaded); loaded }
+    }
   }
 }
 
@@ -175,7 +242,8 @@ object BucketBloomCache {
   * (definitely new). Mirrors [[BloomMightContain]]'s shape.
   */
 case class BucketBloomContains(child: Expression, base: String, buckets: Int,
-    epochs: Broadcast[Map[Int, Int]]) extends UnaryExpression {
+    epochs: Broadcast[Map[Int, Int]], cacheEntries: Int = 64)
+    extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
 
@@ -184,7 +252,8 @@ case class BucketBloomContains(child: Expression, base: String, buckets: Int,
     val b = java.lang.Math.floorMod(h, buckets.toLong).toInt
     epochs.value.get(b) match {
       case None => false
-      case Some(e) => BucketBloomCache.get(base, e, b).mightContainLong(h)
+      case Some(e) =>
+        BucketBloomCache.get(base, e, b, cacheEntries).mightContainLong(h)
     }
   }
 

@@ -118,9 +118,24 @@ object UrlSeen {
         spark: org.apache.spark.sql.SparkSession): Column = {
       import org.apache.spark.sql.graft.shim.{toColumn, toExpression}
       val bcast = spark.sparkContext.broadcast(fam.epochs)
+      val cacheEntries = spark.conf
+        .get("spark.graft.bloomCacheEntries", "64").toInt
       toColumn(BucketBloomContains(
-        toExpression(seenKey(uriCol, methodCol)), fam.base, fam.buckets, bcast))
+        toExpression(seenKey(uriCol, methodCol)), fam.base, fam.buckets, bcast,
+        cacheEntries))
     }
+  }
+
+  /** Union of two prefilters: "maybe seen" iff either says so. No false
+    * negatives as long as every seen key is covered by at least one
+    * side — the batched-merge family cadence pairs the (lagging) bucket
+    * family with a small single bloom over the not-yet-merged deltas.
+    */
+  final case class CompositePrefilter(a: SeenPrefilter, b: SeenPrefilter)
+      extends SeenPrefilter {
+    override def might(uriCol: Column, methodCol: Column,
+        spark: org.apache.spark.sql.SparkSession): Column =
+      a.might(uriCol, methodCol, spark) || b.might(uriCol, methodCol, spark)
   }
 
   /** candidates ∖ seen on `uriCol`/`methodCol` (exact), with the bloom

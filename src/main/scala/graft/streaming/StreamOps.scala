@@ -36,11 +36,17 @@ object StreamOps {
     * bounds the dedup state — the honest 10^10-scale semantics: an
     * unbounded exact seen-set is the batch engine's job (D1's
     * compacted bucketed state), a stream keeps a recency window whose
-    * size is a memory/recall knob.
+    * size is a memory/recall knob. `dropDuplicatesWithinWatermark`
+    * (not plain `dropDuplicates`) is what makes that true: the plain
+    * operator only evicts state when a KEY column carries the
+    * watermark, so with keys like `text` its state grew without bound
+    * in a continuous deployment — the within-watermark variant evicts
+    * every key once the watermark passes its first-seen time plus the
+    * delay.
     */
   def dedupStream(docs: DataFrame, keyCols: Seq[String], tsCol: String,
       watermark: String): DataFrame =
-    docs.withWatermark(tsCol, watermark).dropDuplicates(keyCols)
+    docs.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(keyCols)
 
   /** Per-host politeness throttle over a fetch-request stream: the F3
     * recurrence s_i = max(t_i, s_{i-1} + delayMs) (first request

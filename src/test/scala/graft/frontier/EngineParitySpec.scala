@@ -464,11 +464,12 @@ class EngineParitySpec extends AnyFunSuite {
   test("parity with the PARTITIONED bloom family (past-budget prefilter)") {
     // bloomBudgetBytes=1 keeps the single merged bloom over budget, so
     // the prefilter runs the bucket-sharded file family for the whole
-    // crawl: initial build, per-round LSM merges (only touched buckets
-    // rewritten), and the compaction-time re-capacity rebuild all
-    // execute on a deep multi-round world — outputs must still equal
-    // the serial oracle bit-for-bit (band 2's exact anti-join is the
-    // truth; the family only routes candidates around it)
+    // crawl: initial build, COMPACTION-CADENCE batched merges (the
+    // un-merged window rides the recent-delta bloom composed with the
+    // family), and the compaction-time re-capacity rebuild all execute
+    // on a deep multi-round world — outputs must still equal the serial
+    // oracle bit-for-bit (band 2's exact anti-join is the truth; the
+    // family only routes candidates around it)
     val spec = WorldSpec("deep-slow", nHosts = 2, nDocs = 44, hotPct = 50,
       slowEvery = 2, slowDelayS = 12.0)
     val c = cfg(spec)
@@ -478,11 +479,24 @@ class EngineParitySpec extends AnyFunSuite {
       bloomMinSeen = 0L, compactEvery = 5,
       bloomBudgetBytes = 1L, bloomBuckets = 8)
     assertParity(oracle, run)
-    // the family must actually have been used: epoch dirs exist with
-    // several distinct epochs (initial build + per-round merges)
+    // the family must actually have been used (epoch dirs exist), its
+    // maintenance I/O must be on the COMPACTION cadence — epoch count
+    // bounded by initial build + one per compaction sync, never one per
+    // round — and gcEpochs must leave at most one live file per bucket
     val base = new java.io.File(s"$dir/seen_bloom_buckets")
     val epochs = Option(base.list()).map(_.count(_.startsWith("epoch-"))).getOrElse(0)
-    assert(epochs >= 3, s"expected multiple bloom-family epochs, saw $epochs")
+    val syncs = (0 to run.lastRound).flatMap(k => run.store.readLineage(k))
+      .count(_._1 == "compacted")
+    assert(epochs >= 1, "bloom family never built")
+    assert(run.lastRound >= 8, s"world too shallow to exercise the cadence: ${run.lastRound}")
+    assert(epochs <= syncs + 1,
+      s"family epochs must follow the compaction cadence ($syncs syncs over " +
+        s"${run.lastRound + 1} rounds), saw $epochs epoch dirs")
+    def bloomFiles(f: java.io.File): Int =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(bloomFiles).sum
+      else if (f.getName.endsWith(".bloom")) 1 else 0
+    assert(bloomFiles(base) <= 8,
+      s"gcEpochs must leave ≤ one live file per bucket, saw ${bloomFiles(base)}")
   }
 
   test("resume: killing after round k and resuming yields identical outputs") {
