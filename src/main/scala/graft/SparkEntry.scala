@@ -66,6 +66,11 @@ object SparkEntry {
       // write-behind's extra leaf-pinning probe job per round costs more
       // than the overlapped write saves — opt this session out
       s.conf.set("spark.graft.pipelinedWrite", "false")
+      // keep the world tables as SQL-cached trees here: the world-leaf
+      // pin (CrawlDriver pinWorld) is a measured win on fat codegen'd
+      // crawls but blows this interpreted 40-doc world's per-round
+      // broadcast-job fan-out up ~15x (49.5 -> 126.7 s measured)
+      s.conf.set("spark.graft.worldLeaves", "false")
       val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
         politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
         canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4,

@@ -356,7 +356,35 @@ object CrawlDriver {
     // round-invariant world prep (redirect-resolved fetch map, robots
     // aggregation), cached once and shared by every round
     val prepped0 = CrawlRound.prepare(world0, cfg)
-    val hosts = prepped0.hosts.persist(MEMORY_AND_DISK)
+    // local mode pins each world table as a LogicalRDD LEAF (eager
+    // localCheckpoint) rather than a mere persist: a persisted plan
+    // keeps its full logical tree, and the analyzer's full-tree rules —
+    // DeduplicateRelations above all, measured at 41% of total rule
+    // time on a tiny crawl (6.7 s of 16.3 s) — re-walk the whole
+    // world-prep subtree (the heavy one-pass parse, the redirect
+    // doubling joins) on EVERY Dataset op of EVERY round that
+    // references the table; the world compute itself also stops riding
+    // round 0's forcing job (interleaved A/B at 300k docs, local[32]:
+    // 36.5-41.5 s / cpu 576-734 with leaves vs 40.7-47.4 s / cpu
+    // 613-787 persisted). The leaf keeps the repartition/sort layout
+    // (LogicalRDD captures the physical partitioning/ordering — same
+    // mechanism as the compaction leaves), so the per-round sort-merge
+    // joins stay Exchange-free. `spark.graft.worldLeaves=false` opts a
+    // session out: on an interpreted 40-doc smoke world (codegen off,
+    // 4 partitions, synchronous writes) the same change blows the
+    // per-round job fan-out up ~15x (75 → 1161 jobs, 49.5 → 126.7 s —
+    // broadcast subqueries re-expand subtrees the world-tree cache
+    // entries had been collapsing), so SparkEntry's tiny-crawl session
+    // keeps the persist path. Cluster runs keep persist regardless:
+    // lineage must survive executor loss there, and the analysis cost
+    // is a driver constant a long-lived cluster round amortizes.
+    val worldLeaves =
+      spark.conf.get("spark.graft.worldLeaves", "true").toBoolean
+    def pinWorld(df: DataFrame): DataFrame =
+      if (spark.sparkContext.isLocal && worldLeaves)
+        org.apache.spark.sql.graft.shim.capStats(df.localCheckpoint())
+      else df.persist(MEMORY_AND_DISK)
+    val hosts = pinWorld(prepped0.hosts)
     // one O(1) probe per crawl: delay-free worlds skip politeness joins
     val hasDelays = hosts.filter(col("d").isNotNull).limit(1).count() > 0
     val nParts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
@@ -365,16 +393,16 @@ object CrawlDriver {
     // cached partitioning/ordering instead of re-exchanging + re-sorting
     // the big side each round (the bucketed-table pattern)
     val world = CrawlRound.PreparedWorld(
-      prepped0.docs.repartition(nParts, col("doc_id"))
-        .sortWithinPartitions("doc_id").persist(MEMORY_AND_DISK),
-      prepped0.fetchMap.repartition(nParts, col("url"))
-        .sortWithinPartitions("url").persist(MEMORY_AND_DISK),
+      pinWorld(prepped0.docs.repartition(nParts, col("doc_id"))
+        .sortWithinPartitions("doc_id")),
+      pinWorld(prepped0.fetchMap.repartition(nParts, col("url"))
+        .sortWithinPartitions("url")),
       hosts,
-      prepped0.rulesAgg.persist(MEMORY_AND_DISK),
+      pinWorld(prepped0.rulesAgg),
       hasDelays,
       sitemapsAgg =
         if (prepped0.sitemapsAgg == null) null
-        else prepped0.sitemapsAgg.persist(MEMORY_AND_DISK))
+        else pinWorld(prepped0.sitemapsAgg))
 
     var last = if (boot.isDefined) -1 else store.latestCommitted().get
     var c = boot match {
@@ -626,8 +654,23 @@ object CrawlDriver {
           // captures the physical plan's partitioning), so the J6
           // fetch join stays Exchange-free.
           val fn = capStats(frontierSel(out.frontierOut).localCheckpoint(eager = false))
-          Seq(sd, dd, md, hs, fn).map(_.select(lit(1L).as("one")))
-            .reduce(_ union _).count() // probe: one job pins all five
+          // probe: pins the leaves the background write does NOT read —
+          // sd and fn. The other three (hs/dd/md) are exactly the delta
+          // kinds the write itself computes, so their materialization
+          // already rides the write thread; probing them here too (the
+          // round-5 shape probed all five) kept 2 of the probe job's
+          // ~1.5-2.5 s of leaf compute on the per-round critical path
+          // for nothing. (Moving the WHOLE probe onto the write thread
+          // was measured and rejected: the probe then overlaps the next
+          // round's forcing job and the contention costs more than the
+          // barrier saved — interleaved A/B at 300k docs: async 44.9 to
+          // 105 s / +35% cpu_sec vs sync 40.7-47.4 s.) A dd/md
+          // partition the next round's forcing job needs before the
+          // write has cached it is computed under the block manager's
+          // per-partition locks — compute-once either way, and this
+          // round's caches stay alive until that write completes.
+          Seq(sd, fn).map(_.select(lit(1L).as("one")))
+            .reduce(_ union _).count() // probe: one job pins both
           seenParts += sd
           dupParts += dd
           mapParts += md

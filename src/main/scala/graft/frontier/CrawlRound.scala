@@ -553,6 +553,20 @@ object CrawlRound {
     // BEFORE the page's own children (record_sitemaps runs pre-fetch),
     // hence vidx 0 (robots) / 1+j (locs) and the negative childIdx
     // frontier-arrival keys.
+    // The winner table is REFERENCED three times downstream (cntAll,
+    // the virtual-row build, knownMapsDelta) and logical plans are
+    // trees, so each reference pastes a fresh copy of the whole
+    // site-pop/anti-join/window subtree — re-walked by the analyzer's
+    // full-tree rules on every subsequent op and re-executed per branch
+    // job's broadcast subqueries. A LAZY localCheckpoint truncates it
+    // to a leaf at construction (no extra job — materialization rides
+    // the forcing job, compute-once under block locks, exactly the f5c
+    // discipline). Local mode only: on a cluster a reliable per-round
+    // checkpoint would be an extra distributed write.
+    def leafLocal(df: DataFrame): DataFrame =
+      if (spark.sparkContext.isLocal)
+        org.apache.spark.sql.graft.shim.capStats(df.localCheckpoint(eager = false))
+      else df
     val won: Option[DataFrame] =
       if (world.sitemapsAgg == null) None
       else {
@@ -567,11 +581,11 @@ object CrawlRound {
           col("hdepth"), posexplode(col("slocs")).as(Seq("li", "loc")))
         val fresh = cand.join(in.knownMaps.select(col("uri").as("loc")),
           Seq("loc"), "left_anti")
-        Some(fresh.withColumn("rn0",
+        Some(leafLocal(fresh.withColumn("rn0",
             row_number().over(Window.partitionBy(col("loc")).orderBy(col("hpos"))))
           .filter(col("rn0") === 1).drop("rn0")
           .withColumn("j",
-            row_number().over(Window.partitionBy(col("host")).orderBy(col("li"))) - 1))
+            row_number().over(Window.partitionBy(col("host")).orderBy(col("li"))) - 1)))
       }
     val knownMapsDelta = won.map(_.select(col("loc").as("uri")))
       .getOrElse(spark.emptyDataFrame.select(lit("").as("uri")).limit(0))
@@ -592,9 +606,12 @@ object CrawlRound {
     }
     val counts = cntAll.groupBy(col("pos"))
       .agg(sum(col("cnt")).as("cnt"), sum(col("vcnt")).as("vcnt"))
-    val based = Ranks.withBoundedPrefixSum(counts, col("pos"), col("cnt"),
+    // same rationale as `won`'s leaf: `based` is pasted into the
+    // parents join AND the virtual-row build, each copy dragging the
+    // counts/prefix-sum subtree (with its offsets broadcast) along
+    val based = leafLocal(Ranks.withBoundedPrefixSum(counts, col("pos"), col("cnt"),
       "base", in.posLo, in.nextPos)
-      .select(col("pos"), col("base"), col("vcnt"))
+      .select(col("pos"), col("base"), col("vcnt")))
 
     // parents (slim projection) joined to their first-seq base: the one
     // remaining exchange carries O(parents) rows
