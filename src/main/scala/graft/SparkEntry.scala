@@ -62,15 +62,16 @@ object SparkEntry {
       // round tree's filter/join count — at 40 docs the driver's
       // per-round analysis IS the runtime, so turn it off here
       s.conf.set("spark.sql.constraintPropagation.enabled", "false")
-      // a ~40-round 40-doc crawl is all fixed latency: the pipelined
-      // write-behind's extra leaf-pinning probe job per round costs more
-      // than the overlapped write saves — opt this session out
-      s.conf.set("spark.graft.pipelinedWrite", "false")
-      // keep the world tables as SQL-cached trees here: the world-leaf
-      // pin (CrawlDriver pinWorld) is a measured win on fat codegen'd
-      // crawls but blows this interpreted 40-doc world's per-round
-      // broadcast-job fan-out up ~15x (49.5 -> 126.7 s measured)
-      s.conf.set("spark.graft.worldLeaves", "false")
+      // pipelined write-behind and world-leaf pinning stay ON (the
+      // engine defaults): round 5 opted this session out of pipelining
+      // when the leaf-pinning probe covered five leaves, but with the
+      // round-6 slim probe (seen+frontier only) the overlap wins again —
+      // measured 26.5-27.2 s pipelined+leaves vs 35.8-37.0 s
+      // synchronous+persisted world on this 40-doc ~7-round world (the
+      // world-leaf broadcast-fan-out pathology is specific to the
+      // synchronous path's per-round parquet re-point and write
+      // re-execution; the pipelined path's in-memory leaf state never
+      // re-expands those subtrees).
       val spec = WorldSpec("entry-world", nHosts = 4, nDocs = 40,
         politeEvery = 3, redirectEvery = 5, privateEvery = 7, sitemapEvery = 2,
         canonicalHdrEvery = 6, cookieEvery = 3, nonsemEvery = 4,
